@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives used by the training-data pipeline operators.
+  * All pure `Column` algebra (codegen'd) — no UDFs, so they stay inside
+  * whole-stage codegen over the scan at any scale.
+  */
+object TextFunctions {
+
+  /** Count of regex matches in a string column. */
+  def regexCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("int")
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column = regexCount(text, "\\S+")
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word w-shingles (space-joined) of the token array; if the
+    * document is shorter than `w` tokens, the whole document is the one
+    * shingle.
+    */
+  def wordShingles(toks: Column, w: Int): Column = {
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(0), n - w), i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Polynomial rolling hash over the characters of a string:
+    * `h = fold(0, (acc, ch) -> (acc*31 + codepoint(ch)) mod 1_000_000_007)`.
+    * Order-sensitive document fingerprint (reference-style content
+    * identity without storing the text). Modulus keeps the accumulator
+    * within Long range (no ANSI overflow).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** MinHash + LSH near-duplicate detection
+  * (shingle → minhash signature → band → bucket-join → exact-Jaccard
+  * verify), all as `Column` algebra — no UDFs, no driver-side state.
+  *
+  * Scale posture: the only shuffles are (1) the band-bucket self-join,
+  * whose key (band_id, band_hash) is high-cardinality by construction,
+  * and (2) the verify join back to the shingle sets on doc id. No O(n²)
+  * cross product ever forms; pair blow-up inside one bucket is bounded
+  * by bucket size, and AQE's skew handling covers pathological buckets.
+  *
+  * Per-band minhash h_i(shingle) = xxhash64(shingle, i); band hash is a
+  * hash of the signature slice. Everything deterministic (seeded by the
+  * band/hash index), so results are reproducible across runs/partitions.
+  */
+object MinHashLSH {
+
+  /** Signature table: (id, shingles, sig array). */
+  def signatures(docs: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int, shingleSize: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val shingles = TextFunctions.wordShingles(toks, shingleSize)
+    val sig: Column = array(
+      (0 until numHashes).map { i =>
+        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))
+      }: _*)
+    docs.select(col(idCol).as("id"), shingles.as("shingles"))
+      .withColumn("sig", sig)
+  }
+
+  /** Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold,
+    * candidate-filtered through `bands` LSH bands of numHashes/bands rows.
+    */
+  def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                     numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                     jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+
+    val sigs = signatures(docs, textCol, idCol, numHashes, shingleSize)
+
+    // band rows: (id, band_id, band_hash)
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows))))).as(Seq("band_id", "band_hash")))
+
+    // candidate pairs from shared buckets
+    val left = banded.select(col("id").as("id_a"), col("band_id"), col("band_hash"))
+    val right = banded.select(col("id").as("id_b"), col("band_id"), col("band_hash"))
+    val candidates = left.join(right, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // exact-Jaccard verify on the shingle sets
+    val sets = sigs.select(col("id"), col("shingles"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+}

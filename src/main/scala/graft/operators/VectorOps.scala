@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-vector operators: cosine similarity, brute-force k-NN, and
+  * a random-hyperplane-LSH bucketed ANN variant for scale.
+  *
+  * Arithmetic is a strict left-fold in double precision
+  * (`aggregate(zip_with(...))`) so results are bit-reproducible and an
+  * external oracle can mirror the exact operation order. No UDFs.
+  */
+object VectorOps {
+
+  /** Elementwise double-cast of a float-array column. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** dot(a, b) as a sequential left fold: 0.0 + a1*b1 + a2*b2 + ... */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query row.
+    * The query side is expected to be small (broadcast); the corpus scan
+    * stays distributed and the per-query top-k is a window over the
+    * (query x corpus-partition) pairs.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("n_emb"))
+    val pairs = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", rank().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+  }
+
+  /** Deterministic random-hyperplane signature (`planes` rows of ±1
+    * weights, seeded): bit p = [dot(plane_p, v) > 0].
+    */
+  def hyperplaneSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(typedlit(p), v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Deterministic ±1 hyperplanes from a fixed seed. */
+  def makePlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH-bucketed ANN: only candidates sharing the query's hyperplane
+    * bucket are scored — the scale path where brute force is too wide.
+    * Recall < 1 by construction (approximate).
+    */
+  def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+             numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = makePlanes(numPlanes, dim)
+    def withSig(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), toDouble(col("embedding")).as(embAs))
+        .withColumn("bucket", hyperplaneSignature(col(embAs), planes))
+    val q = withSig(queries, "query_id", "q_emb")
+    val c = withSig(corpus, "neighbor_id", "n_emb")
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", rank().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+  }
+}

@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The relational operator surface (SURVEY.md §2.1–§2.10) demonstrated
+  * over the TESTDATA tables, each with a DuckDB oracle.
+  *
+  * Query names carry the SURVEY operator id they exercise (s1, p1, e2,
+  * r1, j1, a2, u1, ...). The IRS-990-specific realization of the same
+  * operators (XML version coalescing, checkbox collapse, explode of
+  * repeating groups) lives in [[graft.engine]] and is tested against
+  * XML fixtures in the test suite; here the identical Column algebra
+  * runs on generic tables so the driver's DuckDB oracle can check it.
+  *
+  * Scale posture: dimension tables are `broadcast()` so fact-side scans
+  * never shuffle for the join; aggregates are partial+final (Spark
+  * default); all sums are decimal-exact so results are stable under any
+  * partitioning / AQE re-plan.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a double column via decimal. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- A1/A2-style headline aggregation (TPC-H Q1 shape) ----------
+    QueryDef.sql(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val one = lit(1.0)
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (one - col("l_discount"))).cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (one - col("l_discount")) * (one + col("l_tax"))).cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    },
+
+    // ---- J3 + top-k (TPC-H Q3 shape); broadcast dim, exact revenue --
+    QueryDef.sql(
+      "q3_shipping_priority",
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      Tables.orders(s, d)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- J3 five-way star join + agg (TPC-H Q5 shape) ---------------
+    QueryDef.sql(
+      "q5_region_revenue",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.supplier(s, d).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- S1+R7: index scan with TaxYear derivation ------------------
+    // (reference: TaxPeriod → TaxYear, December rule, R:77-84)
+    QueryDef.sql(
+      "s1_index_scan_taxyear",
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(CASE WHEN month(o_orderdate) = 12 THEN year(o_orderdate)
+        |            ELSE year(o_orderdate) - 1 END AS INT) AS taxyr
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderdate"),
+        when(month(col("o_orderdate")) === 12, year(col("o_orderdate")))
+          .otherwise(year(col("o_orderdate")) - 1).cast("int").as("taxyr"))
+    },
+
+    // ---- P1/U3: filter + membership predicate (pushed to scan) ------
+    QueryDef.sql(
+      "p1_filter_isin",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity > 25.0""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 25.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+    },
+
+    // ---- P3/U2: dedup ------------------------------------------------
+    QueryDef.sql(
+      "p3_index_dedup",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+    },
+
+    // ---- E2: version coalesce (era-exclusive variants) ---------------
+    // (reference: xpath union a|b|c → coalesce, R:332-336)
+    QueryDef.sql(
+      "e2_version_coalesce",
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderpriority, '1-URGENT'), o_orderstatus, 'NONE') AS resolved
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), col("o_orderstatus"), lit("NONE")).as("resolved"))
+    },
+
+    // ---- E4: multi-value collapse (FILINGSTATES analogue) ------------
+    QueryDef.sql(
+      "e4_multivalue_collapse",
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ' ') AS priorities
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(concat_ws(" ", array_sort(collect_set(col("o_orderpriority")))).as("priorities"))
+    },
+
+    // ---- E5+R6: checkbox recode + collapse ----------------------------
+    // (reference: presence → label, concat_ws collapse, ""→NULL; R:560,618-621)
+    QueryDef.sql(
+      "e5_checkbox_collapse",
+      """SELECT o_orderkey,
+        |  NULLIF(concat_ws('', CASE WHEN o_orderstatus = 'O' THEN 'Open' END,
+        |                       CASE WHEN o_orderstatus = 'F' THEN 'Finished' END,
+        |                       CASE WHEN o_orderstatus = 'P' THEN 'Pending' END), '') AS status_label
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(concat_ws("",
+          when(col("o_orderstatus") === "O", lit("Open")),
+          when(col("o_orderstatus") === "F", lit("Finished")),
+          when(col("o_orderstatus") === "P", lit("Pending"))), lit("")).as("status_label"))
+    },
+
+    // ---- E6: key projection via double regexp_replace ----------------
+    // (reference: ObjectId from URL, R:39-44)
+    QueryDef.sql(
+      "e6_objectid_from_url",
+      """SELECT o_orderkey,
+        |  regexp_replace(regexp_replace(
+        |    'https://s3.amazonaws.com/irs-form-990/' || CAST(o_orderkey AS VARCHAR) || '_public.xml',
+        |    '^https://s3\.amazonaws\.com/irs-form-990/', ''), '_public\.xml$', '') AS object_id
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        regexp_replace(regexp_replace(
+          concat(lit("https://s3.amazonaws.com/irs-form-990/"), col("o_orderkey").cast("string"), lit("_public.xml")),
+          lit("^https://s3\\.amazonaws\\.com/irs-form-990/"), lit("")),
+          lit("_public\\.xml$"), lit("")).as("object_id"))
+    },
+
+    // ---- R1: zeroALL default after outer join -------------------------
+    QueryDef.sql(
+      "r1_zero_default",
+      """SELECT o_orderkey, COALESCE(c.c_acctbal, CAST(0.0 AS DOUBLE)) AS acctbal_filled
+        |FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000.0)
+      Tables.orders(s, d)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("c_acctbal"), lit(0.0)).as("acctbal_filled"))
+    },
+
+    // ---- R3: conditional source-or-sum --------------------------------
+    // (reference: EZ reads one field, PC sums two; R:1032-1043)
+    QueryDef.sql(
+      "r3_conditional_sum",
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'A' THEN l_quantity
+        |       ELSE l_quantity * l_discount + l_quantity * l_tax END AS derived
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "A", col("l_quantity"))
+          .otherwise(col("l_quantity") * col("l_discount") + col("l_quantity") * col("l_tax")).as("derived"))
+    },
+
+    // ---- A2: contingency counts (table(FormType, TaxYear) analogue) ---
+    QueryDef.sql(
+      "a2_crosstab_counts",
+      """SELECT event_type, CAST(year(ts) AS INT) AS yr, COUNT(*) AS n
+        |FROM events GROUP BY event_type, CAST(year(ts) AS INT)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), year(col("ts")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- A3: panel-spell histogram (table(table(EIN)) analogue) -------
+    QueryDef.sql(
+      "a3_panel_histogram",
+      """SELECT n_filings, COUNT(*) AS n_customers FROM (
+        |  SELECT o_custkey, COUNT(*) AS n_filings FROM orders GROUP BY o_custkey
+        |) GROUP BY n_filings""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_filings"))
+        .groupBy(col("n_filings")).agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ---- J1: semi join against a key set ------------------------------
+    QueryDef.sql(
+      "j1_semi_join",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin) { (s, d) =>
+      val keys = Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+      Tables.orders(s, d)
+        .join(broadcast(keys), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+    },
+
+    // ---- J1b: anti join (NOT EXISTS) -----------------------------------
+    QueryDef.sql(
+      "j1b_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ---- J2/G: 1:M parent-key replication via explode -------------------
+    // (reference: build_rdb_table — header keys replicated onto each
+    //  repeating-group row, R:269-270. Here: group to array, explode back;
+    //  the oracle is the identity projection, proving explode+replication
+    //  round-trips the child table exactly.)
+    QueryDef.sql(
+      "j2_explode_child_table",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))).as("items"))
+        .select(col("l_orderkey"), explode(col("items")).as("item"))
+        .select(col("l_orderkey"), col("item.l_linenumber"), col("item.l_quantity"), col("item.l_extendedprice"))
+    },
+
+    // ---- J3: downstream star join on replicated keys --------------------
+    QueryDef.sql(
+      "j3_star_join",
+      """SELECT o_orderkey, c_name, n_name, r_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"))
+    },
+
+    // ---- U1: union with schema merge (bind_rows analogue) ---------------
+    QueryDef.sql(
+      "u1_union_by_name",
+      """SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src, o_orderpriority AS priority FROM orders
+        |UNION ALL BY NAME
+        |SELECT c_custkey AS id, 'customer' AS src, c_acctbal AS amount FROM customer""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        lit("order").as("src"), col("o_orderpriority").as("priority"))
+      val b = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), lit("customer").as("src"), col("c_acctbal").as("amount"))
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // ---- W1: window rank (analytics layer; SURVEY §2.10 extension) ------
+    QueryDef.sql(
+      "w1_window_rank",
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, spend,
+        |    rank() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey) AS rnk
+        |  FROM (
+        |    SELECT c_mktsegment, c_custkey,
+        |      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |    FROM customer JOIN orders ON c_custkey = o_custkey
+        |    GROUP BY c_mktsegment, c_custkey)
+        |) WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend").desc, col("c_custkey"))
+      spend.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+    },
+
+    // ---- W2: running total (deterministic ROWS frame) --------------------
+    QueryDef.sql(
+      "w2_running_total",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("running_value"))
+    },
+
+    // ---- Streaming-shaped batch: tumbling-window agg ----------------------
+    // (Batch twin of graft.streaming's windowed aggregation.)
+    QueryDef.sql(
+      "ev1_hourly_rollup",
+      """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    },
+
+    // ---- Scalar function family (SURVEY §2.9) ------------------------------
+    QueryDef.sql(
+      "f1_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_type) AS type_upper,
+        |  substring(p_name, 1, 5) AS name_prefix,
+        |  concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  replace(p_brand, '#', '_') AS brand_clean
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_upper"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        length(col("p_name")).cast("int").as("name_len"),
+        regexp_replace(col("p_brand"), lit("#"), lit("_")).as("brand_clean"))
+    },
+
+    QueryDef.sql(
+      "f2_datetime_funcs",
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h,
+        |  date_trunc('day', ts) AS day_bucket
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).cast("int").as("y"), month(col("ts")).cast("int").as("m"),
+        dayofmonth(col("ts")).cast("int").as("dom"), hour(col("ts")).cast("int").as("h"),
+        date_trunc("day", col("ts")).as("day_bucket"))
+    },
+
+    // ---- JSON scalar extraction (S1 index JSON analogue) -------------------
+    QueryDef.sql(
+      "f3_json_extract",
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    }
+  )
+}

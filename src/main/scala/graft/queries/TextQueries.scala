@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication surface over the `documents` table —
+  * the training-data-pipeline operators (token counting, quality
+  * scoring, language-ID, fingerprinting, exact / blocked-Jaccard /
+  * MinHash-LSH / SimHash dedup).
+  *
+  * Everything is built from codegen'd `functions._` expressions (no
+  * UDFs): at 100 TB these run inside whole-stage codegen directly over
+  * the parquet scan, and the dedup joins are blocked (lang, LSH band,
+  * SimHash band) so no O(n²) cross join ever materializes.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting ---------------------------------------------
+    QueryDef.sql(
+      "t1_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_actual
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars_actual"))
+    },
+
+    // ---- quality scoring --------------------------------------------
+    QueryDef.sql(
+      "t2_quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |    / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct
+        |FROM documents""".stripMargin) { (s, d) =>
+      val toks = tokenCount(col("text")).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("int").as("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / toks).as("avg_token_len"),
+        (size(filter(split(col("text"), " "), w => w.isin("the", "a"))).cast("double") / toks).as("stopword_ratio"),
+        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("int").as("n_punct"))
+    },
+
+    // ---- language-ID (marker-token heuristic, deterministic argmax) --
+    QueryDef.sql(
+      "t3_langid_markers",
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS lang_label,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','and'))) AS c_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et'))) AS c_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y'))) AS c_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) AS c_de
+        |  FROM documents)
+        |SELECT doc_id, lang_label,
+        |  CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |       WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+        |       WHEN c_es >= c_de THEN 'es'
+        |       ELSE 'de' END AS lang_pred
+        |FROM scored""".stripMargin) { (s, d) =>
+      def hits(ws: String*) =
+        size(filter(split(col("text"), " "), w => w.isin(ws.map(x => x: Any): _*))).cast("bigint")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("lang_label"),
+        hits("the", "a", "and").as("c_en"), hits("le", "la", "et").as("c_fr"),
+        hits("el", "los", "y").as("c_es"), hits("der", "und", "die").as("c_de"))
+      scored.select(
+        col("doc_id"), col("lang_label"),
+        when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es") && col("c_en") >= col("c_de"), "en")
+          .when(col("c_fr") >= col("c_es") && col("c_fr") >= col("c_de"), "fr")
+          .when(col("c_es") >= col("c_de"), "es")
+          .otherwise("de").as("lang_pred"))
+    },
+
+    // ---- document fingerprint (polynomial rolling hash) ---------------
+    QueryDef.sql(
+      "t4_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), rollingFingerprint(col("text")).as("fingerprint"))
+    },
+
+    // ---- exact dedup (hash-groupBy) ------------------------------------
+    QueryDef.sql(
+      "d1_dedup_exact",
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    },
+
+    // ---- blocked n-gram (token-set) Jaccard near-dup --------------------
+    // Blocking on `lang` keeps the pair space linear-ish; at 100 TB the
+    // block key would be an LSH band (see d3) — same plan shape.
+    QueryDef.sql(
+      "d2_jaccard_blocked",
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = t.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("toks").as("toks_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("toks").as("toks_b"))
+      val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+        size(array_union(col("toks_a"), col("toks_b"))).cast("double")
+      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+
+    // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
+    QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
+      graft.operators.MinHashLSH.nearDuplicates(
+        Tables.documents(s, d), textCol = "text", idCol = "doc_id",
+        numHashes = 32, bands = 8, shingleSize = 3, jaccardThreshold = 0.35)
+    },
+
+    // ---- SimHash near-dup (64-bit, banded hamming) — not SQL-expressible
+    QueryDef.rowsOnly("d4_simhash") { (s, d) =>
+      graft.operators.SimHash.signatures(Tables.documents(s, d), "text", "doc_id")
+    }
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.VectorOps
+
+/** Similarity-search surface over the `embeddings` table. The DuckDB
+  * oracles mirror the exact fold order of [[VectorOps.dot]]
+  * (`list_reduce` over an index range with a 0.0 seed) so doubles match
+  * bit-for-bit.
+  */
+object VectorQueries {
+
+  private val dotSelf =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  list_transform(range(1, len(emb)+1), i -> emb[i]*emb[i])), (a,b) -> a+b)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- L2 norms ------------------------------------------------------
+    QueryDef.sql(
+      "v1_embedding_norms",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |SELECT vec_id, sqrt($dotSelf) AS l2_norm FROM e""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("emb"))
+      e.select(col("vec_id"), VectorOps.l2Norm(col("emb")).as("l2_norm"))
+    },
+
+    // ---- brute-force cosine top-k (baseline exact ANN) ------------------
+    QueryDef.sql(
+      "v2_knn_brute",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*n.emb[i])), (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*q.emb[i])), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*n.emb[i])), (a,b) -> a+b))) AS cosine
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rnk, cosine FROM (
+        |  SELECT *, rank() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM pairs) WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      VectorOps.knnBrute(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+
+    // ---- LSH-bucketed ANN (approximate; the 100 TB path) ----------------
+    QueryDef.rowsOnly("v3_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      VectorOps.annLsh(emb.filter(col("vec_id") < 50), emb, k = 5)
+    },
+
+    // ---- per-label centroids (deterministic sorted-fold mean) -----------
+    // Double sums are order-dependent; sorting the per-group values and
+    // folding sequentially makes the mean bit-reproducible under any
+    // partitioning, and lets the oracle mirror the exact op order.
+    QueryDef.sql(
+      "v4_label_centroids",
+      """SELECT label, CAST(dim AS INT) AS dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(CAST(val AS DOUBLE)))),
+        |              (a,b) -> a+b) / COUNT(*) AS dim_mean
+        |FROM (
+        |  SELECT label,
+        |    unnest(range(1, len(embedding)+1)) AS dim,
+        |    unnest(list_transform(range(1, len(embedding)+1), i -> embedding[i])) AS val
+        |  FROM embeddings)
+        |GROUP BY label, CAST(dim AS INT)""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+        .agg((aggregate(sort_array(collect_list(col("val").cast("double"))), lit(0.0),
+          (acc, v) => acc + v) / count(lit(1))).as("dim_mean"))
+    },
+
+    // ---- embedding near-dup pairs (cosine >= tau, label-blocked) ---------
+    QueryDef.sql(
+      "d5_embedding_neardup",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*b.emb[i])), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*a.emb[i])), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])), (x,y) -> x+y))) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*b.emb[i])), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*a.emb[i])), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])), (x,y) -> x+y))) >= 0.95""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("emb"))
+      val a = e.select(col("vec_id").as("id_a"), col("label").as("lbl_a"), col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("lbl_b"), col("emb").as("emb_b"))
+      a.join(b, col("lbl_a") === col("lbl_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorOps.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+    }
+  )
+}
