@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load + normalize the concordance crosswalk and derive the metadata
+  * the extraction layer needs (SURVEY §2.7 G1–G3).
+  *
+  * Reference behaviors re-expressed (not ported):
+  *  - name normalization: upper-case, `-`→`_`
+  *    (`build_efile_database_functions.R:123,5191`)
+  *  - `find_group_names` (`:121-134`): the repeating-group element of a
+  *    1:M table = the first path segment where the table's xpaths
+  *    diverge
+  *  - `get_var_map` (`:141-151`): raw leaf name (last segment) →
+  *    canonical variable name
+  *
+  * The concordance is driver-side metadata (a few thousand rows): we
+  * collect it once and synthesize Catalyst `Column` trees from it —
+  * the runtime equivalent of the reference's `create_code_chunks` R
+  * code generation (`:5186-5291`), with whole-stage codegen doing the
+  * compiling.
+  */
+object Concordance {
+
+  /** Read a concordance CSV shaped like `ConcordancePartVII.csv`
+    * (header row; columns xpath, variable_name_new, data_type_simple,
+    * cardinality, rdb_table, scope, versions, production_rule).
+    */
+  def readCsv(spark: SparkSession, path: String): Seq[ConcordanceEntry] = {
+    val df = spark.read.option("header", "true").csv(path)
+    fromDf(df)
+  }
+
+  def fromDf(df: DataFrame): Seq[ConcordanceEntry] = {
+    val cols = df.columns.toSet
+    def get(name: String): org.apache.spark.sql.Column =
+      if (cols.contains(name)) col(name) else lit(null).cast("string")
+    df.select(
+        get("variable_name_new").as("v"), get("xpath").as("x"),
+        get("data_type_simple").as("t"), get("cardinality").as("c"),
+        get("rdb_table").as("r"), get("scope").as("s"),
+        get("versions").as("ver"), get("production_rule").as("p"))
+      .collect().toSeq
+      .filter(r => r.getString(0) != null && r.getString(1) != null)
+      .map { r =>
+        ConcordanceEntry(
+          variable = normalizeName(r.getString(0)),
+          xpath = r.getString(1).trim,
+          dataType = Option(r.getString(2)).getOrElse("text"),
+          cardinality = Option(r.getString(3)).getOrElse("ONE"),
+          rdbTable = Option(r.getString(4)).getOrElse(""),
+          scope = Option(r.getString(5)).getOrElse(""),
+          versions = Option(r.getString(6)).map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          productionRule = Option(r.getString(7)).filter(s => s.nonEmpty && s != "NA"))
+      }
+  }
+
+  /** Upper-case + `-`→`_` (reference `:123, :5191`). */
+  def normalizeName(s: String): String = s.trim.toUpperCase.replace("-", "_")
+
+  /** Era-variant xpaths per canonical variable, insertion-ordered
+    * (variants are era-exclusive, so coalesce order only matters for
+    * malformed docs; we keep concordance order for determinism).
+    */
+  def variants(entries: Seq[ConcordanceEntry]): Map[String, Seq[String]] =
+    entries.groupBy(_.variable).view.mapValues(_.map(_.xpath).distinct).toMap
+
+  /** The repeating-group path prefix(es) of a 1:M table (reference
+    * `find_group_names`): the first segment where the table's xpaths
+    * diverge names the group element — one prefix per era spelling.
+    * When the divergence is only at the terminal segment (a single era
+    * spelling: the diverging segments are the leaf fields themselves),
+    * the group is the common parent instead.
+    */
+  def groupPaths(entries: Seq[ConcordanceEntry], table: String): Seq[Seq[String]] = {
+    val paths = entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
+      .map(_.segments)
+    if (paths.isEmpty) return Nil
+    val minLen = paths.map(_.length).min
+    (0 until minLen).find(i => paths.map(_(i)).distinct.size > 1) match {
+      case None => Seq(paths.head.take(minLen - 1))
+      case Some(i) if i == minLen - 1 && paths.forall(_.length == minLen) =>
+        Seq(paths.head.take(i)) // leaf-level divergence: group = common parent
+      case Some(i) => paths.map(_.take(i + 1)).distinct
+    }
+  }
+
+  /** Raw leaf name → canonical variable for a table (reference
+    * `get_var_map`): last path segment wins; later entries overwrite.
+    */
+  def varMap(entries: Seq[ConcordanceEntry], table: String): Map[String, String] =
+    entries.filter(_.rdbTable == table)
+      .map(e => e.segments.last.stripPrefix("@") -> e.variable).toMap
+}

@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources (SURVEY §2.1): the yearly JSON index and the XML return
+  * corpus, as declarative Spark reads.
+  *
+  * Reference: `buildIndex` fetches per-year JSON sequentially on one
+  * thread and `bind_rows`s (`build_efile_database_functions.R:54-89`);
+  * here one `spark.read.json` over all years lists+reads in parallel.
+  * Documents: one HTTPS GET + DOM parse per doc in a loop (`:5004-5042`)
+  * → one distributed XML scan; unreachable/corrupt docs land in
+  * `_corrupt_record` (the FAIL_LIST analogue, `:5096-5101`) instead of
+  * aborting tasks.
+  */
+object Ingest {
+
+  /** S1: index scan — all years in one read, deduped (P3), TaxYear
+    * derived (R7). `paths` may be a glob (`.../index_*.json`).
+    */
+  def readIndex(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("multiLine", "true").json(paths: _*)
+      .distinct()
+      .withColumn("TaxYear", Rules.taxYear(col("TaxPeriod")))
+
+  /** S2: XML corpus scan. PERMISSIVE + `_corrupt_record` quarantines
+    * unparseable documents without failing the job. `schema` SHOULD be
+    * passed at scale (sparse concordance-driven schema = subtree
+    * pruning, SURVEY §4); inference is for tests/exploration.
+    */
+  def readReturns(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.format("xml")
+      .option("rowTag", "Return")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    schema.fold(base)(s => base.schema(addCorruptField(s)))
+      .load(path)
+      .withColumn("source_url", input_file_name())
+  }
+
+  private def addCorruptField(s: StructType): StructType =
+    if (s.fieldNames.contains("_corrupt_record")) s
+    else s.add("_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true)
+
+  /** S5: the quarantine view (reference FAIL_LIST). */
+  def failed(returns: DataFrame): DataFrame =
+    if (returns.columns.contains("_corrupt_record"))
+      returns.filter(col("_corrupt_record").isNotNull).select(col("source_url"))
+    else returns.limit(0).select(col("source_url"))
+}

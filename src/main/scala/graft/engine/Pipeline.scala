@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** The full build (SURVEY §3.2 `buildDatabase` re-expressed): ONE
+  * distributed job — parse the corpus once, cache it, derive every
+  * output table as a projection, write each partitioned by year.
+  *
+  * Replaces the reference's per-document loop + retry + chunk/combine
+  * orchestration (`build_efile_database_functions.R:4938-5177`,
+  * `BUILD_SCRIPTS/README.md:294-427`) with lineage + task retry + one
+  * partitioned write per table. At 100 TB: the parse is the dominant
+  * cost and is paid once (MEMORY_AND_DISK cache shared by all 9
+  * projections); each table write is shuffle-free (projection + explode
+  * only).
+  */
+object Pipeline {
+
+  final case class Outputs(core: DataFrame, typedCore: DataFrame,
+                           children: Map[String, DataFrame], failed: DataFrame)
+
+  def build(spark: SparkSession, corpusPath: String,
+            concordance: Seq[ConcordanceEntry]): Outputs = {
+    val parsed = Ingest.readReturns(spark, corpusPath)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val core = Core.build(parsed)
+    val childTables = concordance.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
+    val children = childTables.map(t => t -> TableBuild.oneToMany(parsed, concordance, t)).toMap
+    Outputs(core, Core.typedView(core), children, Ingest.failed(parsed))
+  }
+
+  def writeAll(out: Outputs, outDir: String): Unit = {
+    Emit.writeTable(out.core, outDir, "core")
+    out.children.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
+  }
+}
+
+/** Runnable end-to-end demo over the fixture corpus: parse → core +
+  * Part VII child table → parquet, then a SQL aggregate over the
+  * result (the SURVEY §7 minimum slice query).
+  */
+object BuildDemo {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("src/test/resources/xml")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_990_out"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pv(v: String, x: String) = ConcordanceEntry(v, x, "text", "MANY", "PART-VII-01", "PC", Nil, None)
+    val concordance = Seq(
+      pv("DTK_NAME", "/Return/ReturnData/IRS990/Form990PartVIISectionAGrp/PersonNm"),
+      pv("DTK_NAME", "/Return/ReturnData/IRS990/Form990PartVIISectionA/NamePerson"),
+      pv("DTK_TITLE", "/Return/ReturnData/IRS990/Form990PartVIISectionAGrp/TitleTxt"),
+      pv("DTK_TITLE", "/Return/ReturnData/IRS990/Form990PartVIISectionA/Title"),
+      pv("DTK_COMP_ORG", "/Return/ReturnData/IRS990/Form990PartVIISectionAGrp/ReportableCompFromOrgAmt"),
+      pv("DTK_COMP_ORG", "/Return/ReturnData/IRS990/Form990PartVIISectionA/ReportableCompFromOrganization"))
+
+    val out = Pipeline.build(spark, corpus, concordance)
+    Pipeline.writeAll(out, outDir)
+
+    println(s"[demo] corpus=$corpus out=$outDir failed=${out.failed.count()}")
+    spark.read.parquet(s"$outDir/core").createOrReplaceTempView("core")
+    spark.read.parquet(s"$outDir/PART-VII-01").createOrReplaceTempView("partvii")
+    spark.sql(
+      """SELECT FORMTYPE, count(*) AS n, sum(CAST(TOTALREVCURRENT AS LONG)) AS total_rev
+        |FROM core GROUP BY FORMTYPE ORDER BY FORMTYPE""".stripMargin).show()
+    spark.sql(
+      """SELECT c.EIN, c.NAME, p.DTK_NAME, p.DTK_TITLE, CAST(p.DTK_COMP_ORG AS LONG) AS comp
+        |FROM core c JOIN partvii p ON c.EIN = p.EIN AND c.OBJECT_ID = p.OBJECT_ID
+        |ORDER BY comp DESC""".stripMargin).show(truncate = false)
+    spark.stop()
+  }
+}

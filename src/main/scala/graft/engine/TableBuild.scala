@@ -1,0 +1,120 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output-table builders (SURVEY §2.7 G1–G5 + §3.2): the wide 1:1
+  * "core"-style tables and the exploded 1:M child tables, all derived
+  * from one shared parsed scan.
+  *
+  * Reference: per-document R loops assembling `namedList`s and
+  * `bind_rows` accumulators (`build_efile_database_functions.R:210-276,
+  * 3189-3576, 5004-5122`). Here each table is ONE `select` over the
+  * parsed corpus — header keys + synthesized extraction columns — and
+  * 1:M tables are `explode` of the repeating-group array with parent
+  * keys replicated by projection (J2, `:269-270`), so building all
+  * tables is a handful of shuffles-free projections over a cached scan.
+  */
+object TableBuild {
+
+  /** Header key columns replicated into every output table
+    * (`:219-259`): EIN, NAME (era-coalesced), TAXYR, FORMTYPE,
+    * OBJECT_ID (from the source url), URL.
+    */
+  def headerCols(df: DataFrame): Seq[Column] = Seq(
+    Extract.scalar(df, Seq(
+      "/Return/ReturnHeader/Filer/EIN")).as("EIN"),
+    Extract.scalar(df, Seq(
+      "/Return/ReturnHeader/Filer/BusinessName/BusinessNameLine1Txt",
+      "/Return/ReturnHeader/Filer/BusinessName/BusinessNameLine1",
+      "/Return/ReturnHeader/Filer/Name/BusinessNameLine1")).as("NAME"),
+    Rules.taxYear(regexp_replace(Extract.scalar(df, Seq(
+      "/Return/ReturnHeader/TaxPeriodEndDt",
+      "/Return/ReturnHeader/TaxPeriodEndDate")), lit("-"), lit("")))
+      .cast("string").as("TAXYR"),
+    formType(df).as("FORMTYPE"),
+    Extract.objectIdFromUrl(col("source_url")).as("OBJECT_ID"),
+    col("source_url").as("URL"))
+
+  def formType(df: DataFrame): Column =
+    Extract.scalar(df, Seq(
+      "/Return/ReturnHeader/ReturnTypeCd",
+      "/Return/ReturnHeader/ReturnType"))
+
+  /** A 1:1 table: header keys + one scalar extraction per declared-ONE
+    * concordance variable of `table`, in concordance order.
+    */
+  def oneToOne(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame = {
+    val vars = entries.filter(e => e.rdbTable == table && e.cardinality == "ONE")
+    val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    vars.foreach(e => byVar(e.variable) = byVar.getOrElse(e.variable, Vector.empty) :+ e.xpath)
+    val cols = byVar.map { case (v, xpaths) => Extract.scalar(df, xpaths).as(v) }.toSeq
+    df.select(headerCols(df) ++ cols: _*)
+  }
+
+  /** A 1:M child table (G4 `build_rdb_table`): explode each era variant
+    * of the repeating group, extract that era's leaves renamed to
+    * canonical names (G3 `re_name`), then union the eras by name —
+    * per document exactly one era matches, so the union is disjoint.
+    * Missing canonical columns are null-filled to a fixed schema.
+    */
+  def oneToMany(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame = {
+    val tableEntries = entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
+    val groups = Concordance.groupPaths(entries, table)
+    val vmap = Concordance.varMap(entries, table)
+    val canonical = tableEntries.map(_.variable).distinct
+
+    val eraDfs = groups.flatMap { prefix =>
+      val groupXpath = "/Return/" + prefix.mkString("/")
+      Extract.resolveRaw(df, groupXpath).map { case (dt, groupCol) =>
+        val (itemType, arrCol) = dt match {
+          case ArrayType(st: StructType, _) => (st, groupCol)
+          case st: StructType => (st, array(groupCol)) // single occurrence inferred as struct
+          case other => throw new IllegalArgumentException(
+            s"group $groupXpath resolved to non-struct $other")
+        }
+        // relative paths for this era: strip the group prefix
+        val relByVar = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+        tableEntries.foreach { e =>
+          val segs = e.segments
+          if (segs.startsWith(prefix) && segs.length > prefix.length)
+            relByVar(e.variable) =
+              relByVar.getOrElse(e.variable, Vector.empty) :+ segs.drop(prefix.length).mkString("/")
+        }
+        val exploded = df.select(headerCols(df) :+ explode(arrCol).as("item"): _*)
+        val itemCols = relByVar.map { case (v, rels) =>
+          Extract.relative(itemType, col("item"), rels).as(v)
+        }.toSeq
+        exploded.select((headerNames.map(col) ++ itemCols): _*)
+      }
+    }
+
+    val unioned = eraDfs match {
+      case Seq() => // group absent from this corpus: empty table, fixed schema
+        val empty = df.limit(0)
+        empty.select(headerCols(empty) ++ canonical.map(v => lit(null).cast("string").as(v)): _*)
+      case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    // fixed output schema: header + all canonical vars, null-filled
+    val have = unioned.columns.toSet
+    val out = canonical.filterNot(have.contains)
+      .foldLeft(unioned)((d, v) => d.withColumn(v, lit(null).cast("string")))
+    out.select((headerNames ++ canonical).map(col): _*)
+  }
+
+  val headerNames: Seq[String] = Seq("EIN", "NAME", "TAXYR", "FORMTYPE", "OBJECT_ID", "URL")
+
+  /** P4: schedule-presence flags — non-null schedule subtree after
+    * parse (reference greps the serialized DOM, `:2522-2620`).
+    */
+  def schedulePresence(df: DataFrame, schedules: Seq[String]): DataFrame = {
+    val flags = schedules.map { s =>
+      val c = Extract.resolveRaw(df, s"/Return/ReturnData/IRS990Schedule$s")
+        .map { case (_, c) => c.isNotNull }
+        .getOrElse(lit(false))
+      c.as(s"SCHED$s")
+    }
+    df.select(headerCols(df) ++ flags: _*)
+  }
+}
