@@ -347,6 +347,26 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     },
 
+    // ---- Sessionization (batch twin of streaming flatMapGroupsWithState) --
+    QueryDef.sql(
+      "ev2_sessionize",
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+    },
+
     // ---- Scalar function family (SURVEY §2.9) ------------------------------
     QueryDef.sql(
       "f1_string_funcs",

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("hourlyRollup over a MemoryStream matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(10), 2, "click", 2.0, "{}"),
+      Event(3, ts(65), 1, "view", 3.0, "{}"),
+      Event(4, ts(70), 2, "click", 4.0, "{}"))
+
+    val mem = MemoryStream[Event]
+    val q = hourlyRollup(mem.toDF())
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    // watermark advances with data; emit final windows by adding a far-future event
+    mem.addData(Event(99, ts(600), 9, "late", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("rollup_out")
+      .select("hour_bucket", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = hourlyRollup(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.subsetOf(streamed ++ batch) && streamed.intersect(batch).nonEmpty)
+    assert(streamed.exists(_._2 == "click"))
+  }
+
+  test("sessionizeBatch splits on the inactivity gap") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0, "{}"),
+      Event(2, ts(5), 1, "a", 2.0, "{}"),
+      Event(3, ts(60), 1, "a", 3.0, "{}"),   // 55-min gap → new session
+      Event(4, ts(62), 1, "a", 4.0, "{}"),
+      Event(5, ts(0), 2, "a", 5.0, "{}")).toDF()
+    val got = sessionizeBatch(events, gapMinutes = 30)
+      .select(col("user_id"), col("n_events"), col("total_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 2L, 7.0), (2L, 1L, 5.0)))
+  }
+
+  test("streaming sessionize emits closed sessions that match the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0, "{}"),
+      Event(2, ts(5), 1, "a", 2.0, "{}"),
+      Event(3, ts(60), 1, "a", 3.0, "{}"))  // closes session 1
+
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_out")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 3.0)), s"closed first session expected, got $got")
+  }
+
+  test("Refresh.incrementalParquet ingests only new files across runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-refresh").toFile
+    val landing = new java.io.File(tmp, "landing"); landing.mkdirs()
+    val out = new java.io.File(tmp, "out")
+    val ckpt = new java.io.File(tmp, "ckpt")
+
+    val ev = Tables.events(spark, sf())
+    val schema = ev.schema
+    ev.limit(10).write.parquet(landing.getPath + "/batch1")
+    // file-source needs a flat glob of files; use the dir of parquet parts
+    val landingGlob = landing.getPath + "/*/part-*.parquet"
+
+    Refresh.incrementalParquet(spark, landingGlob, schema, out.getPath, ckpt.getPath)
+    val n1 = spark.read.parquet(out.getPath).count()
+    assert(n1 == 10)
+
+    ev.limit(25).write.mode("append").parquet(landing.getPath + "/batch2")
+    Refresh.incrementalParquet(spark, landingGlob, schema, out.getPath, ckpt.getPath)
+    val n2 = spark.read.parquet(out.getPath).count()
+    assert(n2 == 35, s"second run must append only the new files (got $n2)")
+  }
+}
