@@ -1,0 +1,157 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * travel as opaque `binary` columns + typed metadata structs; decode /
+  * feature-extract / resize / frame-sample run batch-wise over
+  * partitions (the Scala analogue of `mapInPandas`: one decoder
+  * instantiation per partition, records processed in batches, schema
+  * declared up front so Catalyst sees real columns).
+  *
+  * The decode internals are STUBBED (no image/audio libs in this
+  * container): `StubCodec` is a deterministic fake that reads a
+  * synthetic header. The Spark-side plumbing — schema, batch iteration,
+  * partitioning, null/corrupt handling — is real and tested; swapping
+  * `StubCodec` for a JNI/javacv codec changes no plan shape.
+  */
+object Multimodal {
+
+  /** media: the opaque payload; meta: typed, queryable, and cheap to
+    * carry next to the blob (partition pruning / filtering happens on
+    * meta without touching bytes).
+    */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image | audio | video
+    StructField("media", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true))), nullable = true)))
+
+  final case class DecodedFrame(frameIdx: Int, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Codec boundary: one instance per partition (like a per-batch
+    * Python worker). Implementations must be deterministic for tests.
+    */
+  trait Codec extends Serializable {
+    def decodeImage(bytes: Array[Byte]): Option[DecodedFrame]
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[DecodedFrame]
+  }
+
+  /** STUB codec — deterministic fake. Payload layout (synthetic, for
+    * tests): "W:<w>;H:<h>;F:<frames>;" header followed by raw bytes.
+    * A real deployment swaps in an actual decoder here; everything
+    * else in this file is production plumbing.
+    */
+  object StubCodec extends Codec {
+    private val Header = """W:(\d+);H:(\d+);F:(\d+);""".r
+
+    def decodeImage(bytes: Array[Byte]): Option[DecodedFrame] = {
+      if (bytes == null) return None
+      val s = new String(bytes, 0, math.min(bytes.length, 64), "UTF-8")
+      Header.findPrefixMatchOf(s).map { m =>
+        DecodedFrame(0, m.group(1).toInt, m.group(2).toInt,
+          bytes.drop(m.matched.length))
+      }
+    }
+
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[DecodedFrame] =
+      decodeImage(bytes) match {
+        case None => Iterator.empty
+        case Some(first) =>
+          val nFrames = new String(bytes, 0, math.min(bytes.length, 64), "UTF-8") match {
+            case s => Header.findPrefixMatchOf(s).map(_.group(3).toInt).getOrElse(1)
+          }
+          (0 until nFrames by everyN).iterator
+            .map(i => first.copy(frameIdx = i))
+      }
+  }
+
+  private val decodedMetaSchema = StructType(Seq(
+    StructField("decoded_width", IntegerType), StructField("decoded_height", IntegerType),
+    StructField("decode_ok", BooleanType)))
+
+  /** Decode pass: batch-wise over partitions, appending decoded
+    * metadata columns. Corrupt/undecodable payloads yield
+    * decode_ok=false rows instead of failing the task (the FAIL_LIST
+    * posture from the XML engine, applied to media).
+    */
+  def withDecodedMeta(df: DataFrame, codec: Codec = StubCodec,
+                      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ decodedMetaSchema.fields)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>      // batch shape: amortizes codec state
+        batch.iterator.map { r =>
+          val decoded = codec.decodeImage(r.getAs[Array[Byte]](mediaIdx))
+          Row.fromSeq(r.toSeq ++ Seq(
+            decoded.map(_.width).orNull, decoded.map(_.height).orNull,
+            decoded.isDefined))
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize: plumbing-real, math-stubbed (recompute meta; payload
+    * passthrough). A real impl rewrites pixels in the same shape.
+    */
+  def resize(df: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("meta.width"), col("meta.height")).cast("double"))
+    df.withColumn("resized_width", floor(col("meta.width") * scale).cast("int"))
+      .withColumn("resized_height", floor(col("meta.height") * scale).cast("int"))
+  }
+
+  /** Frame sampling: video binary → one row per sampled frame
+    * (flatMap = the UDTF/generator shape; parent keys replicated like
+    * the XML engine's 1:M explode).
+    */
+  def sampleFrames(df: DataFrame, everyN: Int, codec: Codec = StubCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType)))
+    val idIdx = df.schema.fieldIndex("asset_id")
+    val mediaIdx = df.schema.fieldIndex("media")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        codec.sampleFrames(r.getAs[Array[Byte]](mediaIdx), everyN)
+          .map(f => Row(r.getLong(idIdx), f.frameIdx, f.width, f.height))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction WITHOUT leaving Column algebra: deterministic
+    * 8-dim pseudo-embedding from the payload hash — the pattern for
+    * "cheap featurization stays codegen'd; only true decode needs the
+    * partition boundary".
+    */
+  def hashFeatures(media: org.apache.spark.sql.Column, dims: Int = 8): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => (pmod(xxhash64(media, i), lit(1000L)).cast("double") / 1000.0))
+
+  /** Synthetic asset table from the documents corpus (deterministic):
+    * lets the media pipeline run against driver-provided testdata.
+    */
+  def syntheticAssets(documents: DataFrame): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(64)) + 16).cast("int")
+    val h = (pmod(col("doc_id") * 7, lit(64)) + 16).cast("int")
+    val f = (pmod(col("doc_id"), lit(10)) + 1).cast("int")
+    documents.select(
+      col("doc_id").as("asset_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "video")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "image").otherwise("audio").as("media_type"),
+      concat(
+        format_string("W:%d;H:%d;F:%d;", w, h, f),
+        substring(col("text"), 1, 128)).cast("binary").as("media"),
+      struct(w.as("width"), h.as("height"), f.as("n_frames"),
+        lit(16000).as("sample_rate"), lit("stub").as("format")).as("meta"))
+  }
+}

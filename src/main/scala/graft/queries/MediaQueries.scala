@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal pipeline surface: binary media columns + typed meta over
+  * the synthetic asset table derived from `documents`. Decode and
+  * frame-sampling cross the partition boundary (rows-only checks);
+  * meta-only transforms stay SQL-expressible and get DuckDB oracles.
+  */
+object MediaQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- decode pass (mapPartitions batch plumbing; stub codec) -------
+    QueryDef.rowsOnly("m1_media_decode") { (s, d) =>
+      Multimodal.withDecodedMeta(Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .select(col("asset_id"), col("media_type"),
+          col("decoded_width"), col("decoded_height"), col("decode_ok"))
+    },
+
+    // ---- meta-only resize (pure Column algebra; exact oracle) ---------
+    QueryDef.sql(
+      "m2_media_resize",
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(doc_id % 64 + 16 AS INT) AS w,
+        |    CAST((doc_id * 7) % 64 + 16 AS INT) AS h
+        |  FROM documents)
+        |SELECT asset_id,
+        |  CAST(floor(w * least(1.0, CAST(32 AS DOUBLE) / greatest(w, h))) AS INT) AS resized_width,
+        |  CAST(floor(h * least(1.0, CAST(32 AS DOUBLE) / greatest(w, h))) AS INT) AS resized_height
+        |FROM assets""".stripMargin) { (s, d) =>
+      Multimodal.resize(Multimodal.syntheticAssets(Tables.documents(s, d)), maxDim = 32)
+        .select(col("asset_id"), col("resized_width"), col("resized_height"))
+    },
+
+    // ---- video frame sampling (generator shape over binary) -----------
+    QueryDef.rowsOnly("m3_frame_sample") { (s, d) =>
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, d))
+      Multimodal.sampleFrames(assets.filter(col("media_type") === "video"), everyN = 2)
+    },
+
+    // ---- codegen'd featurization of binary payloads -------------------
+    QueryDef.rowsOnly("m4_media_features") { (s, d) =>
+      Multimodal.syntheticAssets(Tables.documents(s, d))
+        .select(col("asset_id"), Multimodal.hashFeatures(col("media")).as("features"))
+    }
+  )
+}

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val assets =
+    Multimodal.syntheticAssets(Tables.documents(spark, sf()))
+
+  test("syntheticAssets carries binary payload + typed meta") {
+    val r = assets.filter($"asset_id" === 3L).head()
+    assert(r.getAs[Array[Byte]]("media").nonEmpty)
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Int]("width") == (3 % 64) + 16)
+  }
+
+  test("withDecodedMeta decodes the stub header batch-wise; meta matches payload") {
+    val decoded = Multimodal.withDecodedMeta(assets)
+    val rows = decoded.select("asset_id", "decoded_width", "decoded_height", "decode_ok")
+      .as[(Long, Option[Int], Option[Int], Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4), "all synthetic payloads decode")
+    rows.foreach { case (id, w, h, _) =>
+      assert(w.contains(((id % 64) + 16).toInt), s"asset $id width")
+      assert(h.contains(((id * 7 % 64) + 16).toInt))
+    }
+  }
+
+  test("withDecodedMeta marks corrupt payloads instead of failing") {
+    val bad = Seq((1L, "image", "not a header".getBytes,
+      (16, 16, 1, 16000, "stub"))).toDF("asset_id", "media_type", "media", "m")
+      .withColumn("meta", struct($"m._1".as("width"), $"m._2".as("height"),
+        $"m._3".as("n_frames"), $"m._4".as("sample_rate"), $"m._5".as("format"))).drop("m")
+    val got = Multimodal.withDecodedMeta(bad)
+      .select("decode_ok").as[Boolean].collect()
+    assert(got.toSeq == Seq(false))
+  }
+
+  test("resize computes bounded dimensions from meta only (no byte touch)") {
+    val r = Multimodal.resize(assets, maxDim = 32)
+      .select("asset_id", "meta.width", "resized_width", "resized_height")
+      .collect()
+    r.foreach { row =>
+      assert(row.getAs[Int]("resized_width") <= 32 || row.getAs[Int]("resized_height") <= 32)
+    }
+  }
+
+  test("sampleFrames explodes video assets into frame rows with replicated keys") {
+    val videos = assets.filter($"media_type" === "video")
+    val frames = Multimodal.sampleFrames(videos, everyN = 2)
+    val byAsset = frames.groupBy("asset_id").count().as[(Long, Long)].collect().toMap
+    // asset_id % 3 == 0 are videos with n_frames = id % 10 + 1 → ceil(n/2) sampled
+    byAsset.foreach { case (id, n) =>
+      val expected = ((id % 10) + 1 + 1) / 2
+      assert(n == expected, s"asset $id: $n frames, expected $expected")
+    }
+    assert(byAsset.nonEmpty)
+  }
+
+  test("hashFeatures is deterministic Column algebra in [0,1)") {
+    val f1 = assets.select($"asset_id", Multimodal.hashFeatures($"media").as("f"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val f2 = assets.select($"asset_id", Multimodal.hashFeatures($"media").as("f"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
+  }
+}
