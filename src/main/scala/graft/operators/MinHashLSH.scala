@@ -20,16 +20,24 @@ import graft.functions.TextFunctions
   */
 object MinHashLSH {
 
-  /** Signature table: (id, shingles, sig array). */
+  /** Signature table: (id, shingles, sig array).
+    *
+    * Each shingle string is hashed ONCE to a long; the per-band hash
+    * family then re-hashes that 8-byte long (`h_i = xxhash64(h, i)`)
+    * instead of re-hashing the full string numHashes times — same
+    * min-wise family quality at a fraction of the byte-hashing cost.
+    */
   def signatures(docs: DataFrame, textCol: String, idCol: String,
                  numHashes: Int, shingleSize: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val shingles = TextFunctions.wordShingles(toks, shingleSize)
     val sig: Column = array(
       (0 until numHashes).map { i =>
-        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))
+        array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
       }: _*)
     docs.select(col(idCol).as("id"), shingles.as("shingles"))
+      .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
+      .drop("shingles") // downstream (banding + verify) works on hashes
       .withColumn("sig", sig)
   }
 
@@ -42,7 +50,11 @@ object MinHashLSH {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
+    // signature table feeds both the banding pass and the verify join:
+    // persist so the shingle+minhash computation runs once, not three
+    // times (at cluster scale this is a checkpointed intermediate)
     val sigs = signatures(docs, textCol, idCol, numHashes, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band rows: (id, band_id, band_hash)
     val banded = sigs.select(
@@ -57,8 +69,10 @@ object MinHashLSH {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact-Jaccard verify on the shingle sets
-    val sets = sigs.select(col("id"), col("shingles"))
+    // exact-Jaccard verify on the hashed shingle sets (8-byte elements
+    // shuffle ~10× lighter than shingle strings; xxhash64 collisions
+    // are negligible at corpus scale)
+    val sets = sigs.select(col("id"), col("hs").as("shingles"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     candidates

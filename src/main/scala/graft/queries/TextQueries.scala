@@ -105,9 +105,14 @@ object TextQueries {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
     },
 
-    // ---- blocked n-gram (token-set) Jaccard near-dup --------------------
-    // Blocking on `lang` keeps the pair space linear-ish; at 100 TB the
-    // block key would be an LSH band (see d3) — same plan shape.
+    // ---- n-gram (token-set) Jaccard near-dup ----------------------------
+    // Spark plan: inverted-index similarity join — explode distinct
+    // tokens, self-join on (lang, token), count shared tokens per pair,
+    // jaccard = |∩| / (|A|+|B|-|∩|). Identical result to the oracle's
+    // pairwise formulation (a qualifying pair shares ≥1 token), but no
+    // quadratic array-intersect ever runs: the pair space is generated
+    // only where tokens actually collide, which is the 100 TB-viable
+    // shape (shuffle keyed by token; AQE absorbs hot-token skew).
     QueryDef.sql(
       "d2_jaccard_blocked",
       """WITH t AS (
@@ -121,12 +126,16 @@ object TextQueries {
         |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
-      val a = t.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("toks").as("toks_a"))
-      val b = t.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("toks").as("toks_b"))
-      val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-        size(array_union(col("toks_a"), col("toks_b"))).cast("double")
-      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .withColumn("n", size(col("toks")))
+      val tok = t.select(col("doc_id"), col("lang"), col("n"), explode(col("toks")).as("tok"))
+      val a = tok.select(col("doc_id").as("id_a"), col("lang"), col("n").as("na"), col("tok"))
+      val b = tok.select(col("doc_id").as("id_b"), col("lang"), col("n").as("nb"), col("tok"))
+      a.join(b, Seq("lang", "tok")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
 

@@ -96,11 +96,14 @@ object VectorQueries {
         |        list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])), (x,y) -> x+y))) >= 0.95""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("emb"))
-      val a = e.select(col("vec_id").as("id_a"), col("label").as("lbl_a"), col("emb").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("label").as("lbl_b"), col("emb").as("emb_b"))
+        .withColumn("nrm", VectorOps.l2Norm(col("emb")))
+      val a = e.select(col("vec_id").as("id_a"), col("label").as("lbl_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("lbl_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
       a.join(b, col("lbl_a") === col("lbl_b") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          VectorOps.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+          VectorOps.cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cosine"))
         .filter(col("cosine") >= 0.95)
     }
   )
