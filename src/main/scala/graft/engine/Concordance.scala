@@ -77,11 +77,16 @@ object Concordance {
     val paths = entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
       .map(_.segments)
     if (paths.isEmpty) return Nil
+    // divergence is detected on IRS990EZ→IRS990-normalized segments
+    // (reference `:126`: the same logical table spans both forms, and
+    // the form element must not read as the repeating group); the real
+    // spellings are kept for path resolution.
+    val norm = paths.map(_.map(_.replace("IRS990EZ", "IRS990")))
     val minLen = paths.map(_.length).min
-    (0 until minLen).find(i => paths.map(_(i)).distinct.size > 1) match {
-      case None => Seq(paths.head.take(minLen - 1))
+    (0 until minLen).find(i => norm.map(_(i)).distinct.size > 1) match {
+      case None => paths.map(_.take(minLen - 1)).distinct
       case Some(i) if i == minLen - 1 && paths.forall(_.length == minLen) =>
-        Seq(paths.head.take(i)) // leaf-level divergence: group = common parent
+        paths.map(_.take(i)).distinct // leaf-level divergence: group = common parent
       case Some(i) => paths.map(_.take(i + 1)).distinct
     }
   }
