@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (most-recent-at-or-before) join — a core training-pipeline /
+  * time-series operator Spark lacks natively.
+  *
+  * Plan shape: tag + union both sides, one shuffle on the key, one
+  * window pass carrying the last right-side payload forward
+  * (`last(_, ignoreNulls)` over rows preceding), keep left rows. No
+  * range cross-product ever materializes and the state per key is one
+  * row — this is the shape that survives skewed keys and 100 TB inputs
+  * (vs. the naive time-range join, which explodes).
+  *
+  * Tie rule: a right row at exactly t matches a left row at t (right
+  * sorts first via the src tag) — same as SQL `ASOF ... ON l.t >= r.t`.
+  * Right side must be unique per (key, time) for determinism; callers
+  * pre-aggregate (see ev3_asof_join).
+  */
+object AsofJoin {
+
+  def asofLeft(left: DataFrame, right: DataFrame,
+               leftKey: String, leftTime: String,
+               rightKey: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofLeft needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains), "payload names must not collide with left columns")
+
+    val r = right.select(
+      col(rightKey).as(leftKey) +:
+        col(rightTime).as(leftTime) +:
+        payload.map(col) :+
+        lit(0).as("__src"): _*)
+    val l = left.withColumn("__src", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(leftKey))
+      .orderBy(col(leftTime), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    filled.filter(col("__src") === 1).drop("__src")
+  }
+}

@@ -232,6 +232,55 @@ object RelationalQueries {
         .groupBy(col("n_filings")).agg(count(lit(1)).as("n_customers"))
     },
 
+    // ---- A5: rollup (analytics layer; free via Catalyst, SURVEY §2.6) --
+    QueryDef.sql(
+      "a5_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- A6: cube ------------------------------------------------------
+    QueryDef.sql(
+      "a6_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- A7: grouping sets via the SQL entry point ---------------------
+    QueryDef.sql(
+      "a7_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    },
+
+    // ---- A3b: exact distinct counts ------------------------------------
+    QueryDef.sql(
+      "a3b_distinct_count",
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    },
+
+    // ---- A8: HLL sketch distinct (scale path; sketches differ between
+    // engines so rows-only — the exact twin above is the oracle story)
+    QueryDef.rowsOnly("a8_approx_distinct") { (s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"),
+          countDistinct(col("o_custkey")).as("n_cust_exact"))
+    },
+
     // ---- J1: semi join against a key set ------------------------------
     QueryDef.sql(
       "j1_semi_join",
@@ -365,6 +414,29 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+    },
+
+    // ---- As-of join (training-pipeline/time-series operator) -----------
+    // Spark plan: union + window (one shuffle, O(1) state per key);
+    // oracle: DuckDB's native ASOF LEFT JOIN over the same pre-agg.
+    QueryDef.sql(
+      "ev3_asof_join",
+      """WITH ord AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot,
+        |         MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY o_custkey, CAST(o_orderdate AS TIMESTAMP))
+        |SELECT e.event_id, e.user_id, o.last_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ot""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.asofLeft(ev, ord,
+          leftKey = "user_id", leftTime = "ts",
+          rightKey = "o_custkey", rightTime = "ot",
+          payload = Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
     },
 
     // ---- Scalar function family (SURVEY §2.9) ------------------------------

@@ -1,0 +1,20 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofLeft picks most recent right row at-or-before; null when none") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (3L, 1L, "r-other"))
+      .toDF("rk", "rt", "val")
+    val got = AsofJoin.asofLeft(left, right, "k", "t", "rk", "rt", Seq("val"))
+      .select("ev", "val").as[(String, Option[String])].collect().toMap
+    assert(got("e0").isEmpty)          // before any right row
+    assert(got("e1").contains("r@10")) // exact-time tie matches (>=)
+    assert(got("e2").contains("r@15")) // most recent wins
+    assert(got("e3").isEmpty)          // key with no right rows
+  }
+}
