@@ -139,6 +139,30 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     },
 
+    // ---- composed curation pipeline: exact-dedup keeper + quality gate --
+    // The end-to-end training-data flow (dedup → filter → emit) as one
+    // declarative plan: one shuffle for the keeper window, filters
+    // evaluated in the same stage as the scan.
+    QueryDef.sql(
+      "c1_curation_pipeline",
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(text) AS th,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn FROM h)
+        |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens
+        |FROM k WHERE rn = 1 AND n_tokens >= 5""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), md5(col("text")).as("th"),
+        tokenCount(col("text")).as("n_tokens"))
+      val w = Window.partitionBy(col("th")).orderBy(col("doc_id"))
+      h.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_tokens") >= 5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    },
+
     // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
     QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
