@@ -34,25 +34,39 @@ object Concordance {
 
   def fromDf(df: DataFrame): Seq[ConcordanceEntry] = {
     val cols = df.columns.toSet
-    def get(name: String): org.apache.spark.sql.Column =
-      if (cols.contains(name)) col(name) else lit(null).cast("string")
+    // both crosswalk dialects: the table-slice CSVs
+    // (ConcordancePartVII.csv header) and MASTER_CONCORDANCE_V0.csv
+    // (VAR_NAME/XPATH/DATABASE_TABLE...). DATABASE_TABLE is empty in
+    // V0, so FORM-PART serves as the table key there.
+    def first(names: String*): org.apache.spark.sql.Column =
+      names.find(cols.contains).map(n => nullif(col(n), lit("")))
+        .getOrElse(lit(null).cast("string"))
     df.select(
-        get("variable_name_new").as("v"), get("xpath").as("x"),
-        get("data_type_simple").as("t"), get("cardinality").as("c"),
-        get("rdb_table").as("r"), get("scope").as("s"),
-        get("versions").as("ver"), get("production_rule").as("p"))
+        first("variable_name_new", "VAR_NAME").as("v"),
+        first("xpath", "XPATH").as("x"),
+        first("data_type_simple", "DATA_TYPE").as("t"),
+        first("cardinality", "CARDINALITY").as("c"),
+        coalesce(first("rdb_table", "DATABASE_TABLE"),
+          concat_ws("-", first("FORM"), first("PART"))).as("r"),
+        first("scope", "SCOPE").as("s"),
+        first("versions", "XSD_VERSIONS").as("ver"),
+        first("production_rule", "PRODUCTION_RULE").as("p"))
       .collect().toSeq
       .filter(r => r.getString(0) != null && r.getString(1) != null)
-      .map { r =>
+      .flatMap { r =>
+        // master V0 packs era variants into one cell ("a; b"); each
+        // becomes its own entry (the slice CSVs use one row per era)
+        r.getString(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { xp =>
         ConcordanceEntry(
           variable = normalizeName(r.getString(0)),
-          xpath = r.getString(1).trim,
+          xpath = if (xp.startsWith("/")) xp else "/" + xp,
           dataType = Option(r.getString(2)).getOrElse("text"),
           cardinality = Option(r.getString(3)).getOrElse("ONE"),
           rdbTable = Option(r.getString(4)).getOrElse(""),
           scope = Option(r.getString(5)).getOrElse(""),
           versions = Option(r.getString(6)).map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
           productionRule = Option(r.getString(7)).filter(s => s.nonEmpty && s != "NA"))
+        }
       }
   }
 

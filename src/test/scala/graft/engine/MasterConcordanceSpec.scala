@@ -1,0 +1,55 @@
+package graft.engine
+
+import graft.SparkSpec
+
+/** The engine must digest the complete 9,731-row master crosswalk —
+  * the exact artifact a reference user would bring — and drive
+  * extraction from it with no hand-written code.
+  */
+class MasterConcordanceSpec extends SparkSpec {
+
+  private val masterPath = "/root/reference/MASTER_CONCORDANCE_V0.csv"
+
+  private lazy val master: Seq[ConcordanceEntry] = {
+    assume(new java.io.File(masterPath).isFile, "reference checkout not present")
+    Concordance.readCsv(spark, masterPath)
+  }
+
+  test("parses all master rows with the V0 dialect (FORM-PART as table key)") {
+    assert(master.size > 9000, s"got ${master.size}")
+    assert(master.forall(_.xpath.startsWith("/Return")))
+    assert(master.exists(_.rdbTable.startsWith("F9-PART-")))
+  }
+
+  test("sparse schema over the full master crosswalk builds and is deep") {
+    val schema = SchemaBuild.sparseSchema(master)
+    val returnData = schema("ReturnData").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // master spans 990/EZ/PF + schedules — the pruned tree is wide at
+    // ReturnData but still only declared subtrees
+    assert(returnData.size > 10, s"ReturnData children: ${returnData.size}")
+    assert(returnData.fieldNames.contains("IRS990"))
+  }
+
+  test("master-driven extraction: GROSSRECEIPTS variable extracts from fixtures") {
+    val gr = master.filter(e =>
+      e.xpath == "/Return/ReturnData/IRS990/GrossReceiptsAmt" ||
+        e.xpath == "/Return/ReturnData/IRS990/GrossReceipts")
+    assume(gr.nonEmpty, "master lacks the gross-receipts xpaths")
+    val varName = gr.head.variable
+    val variants = master.filter(_.variable == varName).map(_.xpath)
+    val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
+    val got = parsed.select(
+        TableBuild.headerCols(parsed).head, // EIN
+        Extract.scalar(parsed, variants).as(varName))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("100000001") == "500000")
+  }
+
+  test("era-variant xpaths of one master variable resolve by coalesce across fixtures") {
+    // find a variable with BOTH a pre-2013 and post-2013 spelling that
+    // our fixtures carry: the 990 name line
+    val nameVars = master.filter(_.xpath.contains("BusinessNameLine1"))
+    assert(nameVars.nonEmpty)
+  }
+}
