@@ -130,7 +130,11 @@ object TextQueries {
       val tok = t.select(col("doc_id"), col("lang"), col("n"), explode(col("toks")).as("tok"))
       val a = tok.select(col("doc_id").as("id_a"), col("lang"), col("n").as("na"), col("tok"))
       val b = tok.select(col("doc_id").as("id_b"), col("lang"), col("n").as("nb"), col("tok"))
-      a.join(b, Seq("lang", "tok")).filter(col("id_a") < col("id_b"))
+      // length filter: jaccard ≥ 0.5 forces |A|,|B| within 2× of each
+      // other (inter ≤ min, union ≥ max) — prunes incompatible pairs
+      // before the aggregation without changing the result set
+      a.join(b, Seq("lang", "tok")).filter(col("id_a") < col("id_b")
+          && col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
         .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
         .agg(count(lit(1)).as("inter"))
         .select(col("id_a"), col("id_b"),

@@ -52,4 +52,19 @@ class MasterConcordanceSpec extends SparkSpec {
     val nameVars = master.filter(_.xpath.contains("BusinessNameLine1"))
     assert(nameVars.nonEmpty)
   }
+
+  test("master-driven WIDE table: F9-PART-00 builds as one projection") {
+    val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
+    val t = TableBuild.oneToOne(parsed, master, "F9-PART-00")
+    val varCols = t.columns.filterNot(TableBuild.headerNames.contains)
+    assert(varCols.length >= 90, s"part-00 width from master: ${varCols.length}")
+    assert(t.count() == 4)
+    // spot value through the metadata path
+    val grVar = master.find(_.xpath == "/Return/ReturnData/IRS990/GrossReceiptsAmt")
+    grVar.foreach { e =>
+      val got = t.filter(org.apache.spark.sql.functions.col("EIN") === "100000001")
+        .select(e.variable).head().getString(0)
+      assert(got == "500000")
+    }
+  }
 }
