@@ -295,10 +295,13 @@ object RelationalQueries {
     // ---- J1b: anti join (NOT EXISTS) -----------------------------------
     QueryDef.sql(
       "j1b_anti_join",
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, d) =>
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     },
 

@@ -93,7 +93,7 @@ object VectorQueries {
         |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*a.emb[i])), (x,y) -> x+y))
         |   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])), (x,y) -> x+y))) >= 0.95""".stripMargin) { (s, d) =>
+        |        list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])), (x,y) -> x+y))) >= 0.4""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("emb"))
         .withColumn("nrm", VectorOps.l2Norm(col("emb")))
@@ -104,7 +104,7 @@ object VectorQueries {
       a.join(b, col("lbl_a") === col("lbl_b") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           VectorOps.cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cosine"))
-        .filter(col("cosine") >= 0.95)
+        .filter(col("cosine") >= 0.4)
     }
   )
 }
