@@ -13,89 +13,118 @@ import org.apache.spark.sql.functions._
   * unions, FORMORG checkbox collapse `:553-621`, ACCTMETHOD `:630-671`,
   * DOMICILE multi-value `:519-528`, PROFEESINDEP-style fee sum
   * `:1290-1305`, VOTINGMEMBERS `:1654-1668`.
+  *
+  * Every xpath the builder touches is declared in [[P]], so
+  * `declaredPaths` can feed [[SchemaBuild.sparseSchema]] — the scan
+  * then parses exactly these subtrees and nothing else.
   */
 object Core {
 
-  def build(df: DataFrame): DataFrame = {
-    val ft = TableBuild.formType(df)
-
-    def s(xpaths: String*): Column = Extract.scalar(df, xpaths)
-
-    val grossReceipts = Rules.zeroAll(s(
+  /** Path constants (era variants in coalesce order). */
+  object P {
+    val grossReceipts = Seq(
       "/Return/ReturnData/IRS990/GrossReceiptsAmt",
       "/Return/ReturnData/IRS990/GrossReceipts",
       "/Return/ReturnData/IRS990EZ/GrossReceiptsAmt",
-      "/Return/ReturnData/IRS990EZ/GrossReceipts"))
-
-    val totRev = s(
+      "/Return/ReturnData/IRS990EZ/GrossReceipts")
+    val totRev = Seq(
       "/Return/ReturnData/IRS990/CYTotalRevenueAmt",
       "/Return/ReturnData/IRS990/TotalRevenueCurrentYear",
       "/Return/ReturnData/IRS990EZ/TotalRevenueAmt",
       "/Return/ReturnData/IRS990EZ/TotalRevenue")
-
-    val totExp = s(
+    val totExp = Seq(
       "/Return/ReturnData/IRS990/CYTotalExpensesAmt",
       "/Return/ReturnData/IRS990/TotalExpensesCurrentYear",
       "/Return/ReturnData/IRS990EZ/TotalExpensesAmt",
       "/Return/ReturnData/IRS990EZ/TotalExpenses")
-
-    // E5 checkbox recodes → R6 collapse (order matches reference :618-621)
-    val orgCorp = Rules.checkboxLabel(s(
+    val orgCorp = Seq(
       "/Return/ReturnData/IRS990/OrganizationCorporationInd",
       "/Return/ReturnData/IRS990/OrganizationCorporation",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationCorpInd",
-      "/Return/ReturnData/IRS990EZ/TypeOfOrganizationCorporation"), "Corporation")
-    val orgTrust = Rules.checkboxLabel(s(
+      "/Return/ReturnData/IRS990EZ/TypeOfOrganizationCorporation")
+    val orgTrust = Seq(
       "/Return/ReturnData/IRS990/OrganizationTrustInd",
       "/Return/ReturnData/IRS990/OrganizationTrust",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationTrustInd",
-      "/Return/ReturnData/IRS990EZ/TypeOfOrganizationTrust"), "Trust")
-    val orgAssoc = Rules.checkboxLabel(s(
+      "/Return/ReturnData/IRS990EZ/TypeOfOrganizationTrust")
+    val orgAssoc = Seq(
       "/Return/ReturnData/IRS990/OrganizationAssociationInd",
       "/Return/ReturnData/IRS990/OrganizationAssociation",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationAssocInd",
-      "/Return/ReturnData/IRS990EZ/TypeOfOrganizationAssociation"), "Association")
-    val formOrg = Rules.checkboxCollapse(Seq(orgAssoc, orgCorp, orgTrust))
-
-    val acctCash = Rules.checkboxLabel(s(
+      "/Return/ReturnData/IRS990EZ/TypeOfOrganizationAssociation")
+    val acctCash = Seq(
       "/Return/ReturnData/IRS990/MethodOfAccountingCashInd",
       "/Return/ReturnData/IRS990/MethodOfAccountingCash",
       "/Return/ReturnData/IRS990EZ/MethodOfAccountingCashInd",
-      "/Return/ReturnData/IRS990EZ/MethodOfAccountingCash"), "Cash")
-    val acctAccrual = Rules.checkboxLabel(s(
+      "/Return/ReturnData/IRS990EZ/MethodOfAccountingCash")
+    val acctAccrual = Seq(
       "/Return/ReturnData/IRS990/MethodOfAccountingAccrualInd",
       "/Return/ReturnData/IRS990/MethodOfAccountingAccrual",
       "/Return/ReturnData/IRS990EZ/MethodOfAccountingAccrualInd",
-      "/Return/ReturnData/IRS990EZ/MethodOfAccountingAccrual"), "Accrual")
-    val acctMethod = Rules.checkboxCollapse(Seq(acctCash, acctAccrual))
+      "/Return/ReturnData/IRS990EZ/MethodOfAccountingAccrual")
+    val domicile = Seq(
+      "/Return/ReturnData/IRS990/StateLegalDomicileCd",
+      "/Return/ReturnData/IRS990/StateLegalDomicile")
+    val feesMgmt = Seq(
+      "/Return/ReturnData/IRS990/FeesForServicesManagementAmt",
+      "/Return/ReturnData/IRS990/FeesForServicesManagement")
+    val feesLegal = Seq(
+      "/Return/ReturnData/IRS990/FeesForServicesLegalAmt",
+      "/Return/ReturnData/IRS990/FeesForServicesLegal")
+    val feesAcct = Seq(
+      "/Return/ReturnData/IRS990/FeesForServicesAccountingAmt",
+      "/Return/ReturnData/IRS990/FeesForServicesAccounting")
+    val ezEventExp = Seq(
+      "/Return/ReturnData/IRS990EZ/SpecialEventsDirectExpensesAmt",
+      "/Return/ReturnData/IRS990EZ/SpecialEventsDirectExpenses")
+    val pcFundraisingExp = Seq(
+      "/Return/ReturnData/IRS990/FundraisingDirectExpensesAmt",
+      "/Return/ReturnData/IRS990/DirectExpenses")
+    val pcGamingExp = Seq(
+      "/Return/ReturnData/IRS990/GamingDirectExpensesAmt",
+      "/Return/ReturnData/IRS990/GamingDirectExpenses")
+    val votingMembers = Seq(
+      "/Return/ReturnData/IRS990/VotingMembersGoverningBodyCnt",
+      "/Return/ReturnData/IRS990/VotingMembersGoverningBody")
+
+    val all: Seq[String] =
+      grossReceipts ++ totRev ++ totExp ++ orgCorp ++ orgTrust ++ orgAssoc ++
+        acctCash ++ acctAccrual ++ domicile ++ feesMgmt ++ feesLegal ++
+        feesAcct ++ ezEventExp ++ pcFundraisingExp ++ pcGamingExp ++ votingMembers
+  }
+
+  /** Every xpath this builder reads — input for sparse-schema synthesis. */
+  def declaredPaths: Seq[String] = P.all
+
+  def build(df: DataFrame): DataFrame = {
+    val ft = TableBuild.formType(df)
+    def s(xpaths: Seq[String]): Column = Extract.scalar(df, xpaths)
+
+    val grossReceipts = Rules.zeroAll(s(P.grossReceipts))
+    val totRev = s(P.totRev)
+    val totExp = s(P.totExp)
+
+    // E5 checkbox recodes → R6 collapse (order matches reference :618-621)
+    val formOrg = Rules.checkboxCollapse(Seq(
+      Rules.checkboxLabel(s(P.orgAssoc), "Association"),
+      Rules.checkboxLabel(s(P.orgCorp), "Corporation"),
+      Rules.checkboxLabel(s(P.orgTrust), "Trust")))
+
+    val acctMethod = Rules.checkboxCollapse(Seq(
+      Rules.checkboxLabel(s(P.acctCash), "Cash"),
+      Rules.checkboxLabel(s(P.acctAccrual), "Accrual")))
 
     // E4 multi-value collapse (DOMICILE :519-528)
-    val domicile = Extract.multiValue(df, Seq(
-      "/Return/ReturnData/IRS990/StateLegalDomicileCd",
-      "/Return/ReturnData/IRS990/StateLegalDomicile"))
+    val domicile = Extract.multiValue(df, P.domicile)
 
-    // R4-style fee sum for PC (zeroPC semantics on parts)
-    val profFees = Rules.naSum(Seq(
-      s("/Return/ReturnData/IRS990/FeesForServicesManagementAmt",
-        "/Return/ReturnData/IRS990/FeesForServicesManagement"),
-      s("/Return/ReturnData/IRS990/FeesForServicesLegalAmt",
-        "/Return/ReturnData/IRS990/FeesForServicesLegal"),
-      s("/Return/ReturnData/IRS990/FeesForServicesAccountingAmt",
-        "/Return/ReturnData/IRS990/FeesForServicesAccounting")))
+    // R4-style fee sum for PC
+    val profFees = Rules.naSum(Seq(s(P.feesMgmt), s(P.feesLegal), s(P.feesAcct)))
 
     // R3 conditional source-or-sum (EZ direct field vs PC sum)
     val eventExp = Rules.sourceOrSum(ft,
-      s("/Return/ReturnData/IRS990EZ/SpecialEventsDirectExpensesAmt",
-        "/Return/ReturnData/IRS990EZ/SpecialEventsDirectExpenses"),
-      Seq(
-        s("/Return/ReturnData/IRS990/FundraisingDirectExpensesAmt",
-          "/Return/ReturnData/IRS990/DirectExpenses"),
-        s("/Return/ReturnData/IRS990/GamingDirectExpensesAmt",
-          "/Return/ReturnData/IRS990/GamingDirectExpenses")))
+      s(P.ezEventExp), Seq(s(P.pcFundraisingExp), s(P.pcGamingExp)))
 
-    val votingMembers = Rules.zeroPC(s(
-      "/Return/ReturnData/IRS990/VotingMembersGoverningBodyCnt",
-      "/Return/ReturnData/IRS990/VotingMembersGoverningBody"), ft)
+    val votingMembers = Rules.zeroPC(s(P.votingMembers), ft)
 
     df.select(TableBuild.headerCols(df) ++ Seq(
       grossReceipts.as("GROSSRECEIPTS"),

@@ -21,8 +21,17 @@ object Pipeline {
                            children: Map[String, DataFrame], failed: DataFrame)
 
   def build(spark: SparkSession, corpusPath: String,
-            concordance: Seq[ConcordanceEntry]): Outputs = {
-    val parsed = Ingest.readReturns(spark, corpusPath)
+            concordance: Seq[ConcordanceEntry],
+            inferSchema: Boolean = false): Outputs = {
+    // Default: concordance-derived sparse schema (Core's declared paths
+    // + headers + crosswalk) — no inference pass, no undeclared subtree
+    // parsing. Inference is opt-in for exploration only: on a 3M-doc
+    // corpus it is a full extra read of every byte.
+    val schema =
+      if (inferSchema) None
+      else Some(SchemaBuild.sparseSchema(concordance,
+        SchemaBuild.headerPaths ++ Core.declaredPaths))
+    val parsed = Ingest.readReturns(spark, corpusPath, schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val core = Core.build(parsed)
     val childTables = concordance.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
