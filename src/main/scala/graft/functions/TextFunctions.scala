@@ -19,6 +19,14 @@ object TextFunctions {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** BPE-style pre-tokenization count: letter runs, digit runs, and
+    * individual other marks count as separate tokens — a cheap,
+    * deterministic proxy for subword-tokenizer budgeting (the pattern
+    * mirrors GPT-2-ish pre-tokenization word splitting).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column = regexCount(text, BpePattern)
+
   /** Distinct word w-shingles (space-joined) of the token array; if the
     * document is shorter than `w` tokens, the whole document is the one
     * shingle.

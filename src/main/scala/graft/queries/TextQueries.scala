@@ -31,6 +31,19 @@ object TextQueries {
         length(col("text")).cast("int").as("n_chars_actual"))
     },
 
+    // ---- BPE-ish pre-tokenization count ------------------------------
+    QueryDef.sql(
+      "t5_bpe_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+    },
+
     // ---- quality scoring --------------------------------------------
     QueryDef.sql(
       "t2_quality_score",

@@ -54,6 +54,13 @@ object VectorQueries {
       VectorOps.annLsh(emb.filter(col("vec_id") < 50), emb, k = 5)
     },
 
+    // ---- IVF ANN: k-means cells + nprobe probing ------------------------
+    QueryDef.rowsOnly("v5_ann_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.search(emb.filter(col("vec_id") < 20), emb,
+        k = 5, numCells = 16, nprobe = 4)
+    },
+
     // ---- per-label centroids (deterministic sorted-fold mean) -----------
     // Double sums are order-dependent; sorting the per-group values and
     // folding sequentially makes the mean bit-reproducible under any

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 tight clusters in 8-dim space, 10 vectors each
+  private lazy val corpus = (0L until 30L).map { i =>
+    val c = (i % 3).toInt
+    val v = Seq.tabulate(8)(j => (if (j == c) 10.0f else 0.0f) + (i.toFloat / 100f))
+    (i, v, c)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("centroids are deterministic and k-sized") {
+    val c1 = IvfIndex.centroids(corpus, k = 3).orderBy("centroid_id").collect()
+    val c2 = IvfIndex.centroids(corpus, k = 3).orderBy("centroid_id").collect()
+    assert(c1.length == 3)
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+  }
+
+  test("search finds same-cluster neighbors with high recall") {
+    val got = IvfIndex.search(corpus.filter($"vec_id" < 3), corpus,
+      k = 3, numCells = 3, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // with nprobe=1 on well-separated clusters, every neighbor shares
+    // the query's cluster (i % 3)
+    got.foreach { case (q, n) => assert(q % 3 == n % 3, s"query $q got cross-cluster $n") }
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.values.forall(_.length == 3), "full top-3 per query")
+  }
+}
