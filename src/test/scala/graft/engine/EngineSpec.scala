@@ -23,13 +23,13 @@ class EngineSpec extends SparkSpec {
     }.toMap
   }
 
-  test("parses all four fixture documents with no corrupt records") {
-    assert(parsed.count() == 4)
+  test("parses all six fixture documents with no corrupt records") {
+    assert(parsed.count() == 6)
     assert(Ingest.failed(parsed).count() == 0)
   }
 
   test("header extraction: EIN, era-coalesced NAME, FORMTYPE, OBJECT_ID") {
-    assert(core.keySet == Set("100000001", "100000002", "100000003", "100000004"))
+    assert(core.keySet == Set("100000001", "100000002", "100000003", "100000004", "100000005", "100000006"))
     assert(core("100000001")("NAME") == "ALPHA ARTS FOUNDATION")  // post-2013 spelling
     assert(core("100000002")("NAME") == "BETA HEALTH TRUST")      // pre-2013 spelling
     assert(core("100000001")("FORMTYPE") == "990")
@@ -138,6 +138,32 @@ class EngineSpec extends SparkSpec {
     assert(rows.toSet == Set(
       ("100000001", "CASH TO SUCCESSOR", "25000"),
       ("100000001", "EQUIPMENT DONATED", "8000")))
+  }
+
+  test("2013 middle-era NAME variant (BusinessName/BusinessNameLine1) coalesces") {
+    assert(core("100000006")("NAME") == "ZETA COMMUNITY FUND")
+    assert(core("100000006")("GROSSRECEIPTS") == "310000")
+  }
+
+  test("990PF doc: headers extract; non-PF fields are null, not errors") {
+    assert(core("100000005")("NAME") == "EPSILON FAMILY FOUNDATION")
+    assert(core("100000005")("FORMTYPE") == "990PF")
+    assert(core("100000005")("TOTALREVCURRENT") == null)
+    assert(core("100000005")("GROSSRECEIPTS") == "0") // zeroALL default
+  }
+
+  test("PF 1:M table: AccountingFeesSchedule repeating group (leaf divergence)") {
+    def e(v: String, x: String) = ConcordanceEntry(v, x, "text", "MANY", "AFS-01", "PF", Nil, None)
+    val conc = Seq(
+      e("ACCOFEESCATE", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/Category"),
+      e("ACCOFEESAMOU", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/Amount"),
+      e("ACFEADNEINNC", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/AdjustedNetIncome"))
+    val t = TableBuild.oneToMany(parsed, conc, "AFS-01")
+    val rows = t.collect().map(r =>
+      (r.getAs[String]("EIN"), r.getAs[String]("ACCOFEESCATE"), r.getAs[String]("ACCOFEESAMOU")))
+    assert(rows.toSet == Set(
+      ("100000005", "AUDIT", "7500"),
+      ("100000005", "TAX PREP", "2500")))
   }
 
   test("E6 objectIdFromUrl strips prefix and suffix") {

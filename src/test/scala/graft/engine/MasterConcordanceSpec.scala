@@ -58,7 +58,7 @@ class MasterConcordanceSpec extends SparkSpec {
     val t = TableBuild.oneToOne(parsed, master, "F9-PART-00")
     val varCols = t.columns.filterNot(TableBuild.headerNames.contains)
     assert(varCols.length >= 90, s"part-00 width from master: ${varCols.length}")
-    assert(t.count() == 4)
+    assert(t.count() == 6)
     // spot value through the metadata path
     val grVar = master.find(_.xpath == "/Return/ReturnData/IRS990/GrossReceiptsAmt")
     grVar.foreach { e =>
