@@ -70,7 +70,11 @@ object TableBuild {
       Extract.resolveRaw(df, groupXpath).map { case (dt, groupCol) =>
         val (itemType, arrCol) = dt match {
           case ArrayType(st: StructType, _) => (st, groupCol)
-          case st: StructType => (st, array(groupCol)) // single occurrence inferred as struct
+          case st: StructType =>
+            // single occurrence inferred as struct; guard the wrap so a
+            // doc WITHOUT the group explodes to zero rows, not one
+            // all-null row (R8 length-0→NA in the 1:M path)
+            (st, when(groupCol.isNotNull, array(groupCol)))
           case other => throw new IllegalArgumentException(
             s"group $groupXpath resolved to non-struct $other")
         }

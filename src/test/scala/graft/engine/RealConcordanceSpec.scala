@@ -51,6 +51,23 @@ class RealConcordanceSpec extends SparkSpec {
     assert(rows.contains(("100000002", "JOHN SMITH"))) // pre-2013 era
   }
 
+  test("Sched J 1:M compensation table from the REAL crosswalk spans both eras") {
+    val entries = loadRef("ConcordanceSchedJ.csv")
+    val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
+    val t01 = TableBuild.oneToMany(parsed, entries, "SJ-P02-T01-COMPENSATION")
+    val vmap = Concordance.varMap(entries, "SJ-P02-T01-COMPENSATION")
+    val nameVar = vmap("PersonNm")
+    val baseVar = vmap("BaseCompensationFilingOrgAmt")
+    assert(vmap("NamePerson") == nameVar, "era leaves map to one variable")
+    assert(vmap("BaseCompensationFilingOrg") == baseVar)
+    val rows = t01.select("EIN", nameVar, baseVar).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("100000001", "JANE DOE", "100000"),   // post-2013 era group
+      ("100000001", "SAM CFO", "90000"),
+      ("100000002", "JOHN SMITH", "45000"))) // pre-2013 era group
+  }
+
   test("Sched J concordance: 1:1 checklist table builds (sparse corpus, fixed schema)") {
     val entries = loadRef("ConcordanceSchedJ.csv")
     val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
