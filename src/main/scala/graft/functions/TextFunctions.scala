@@ -39,6 +39,27 @@ object TextFunctions {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Distinct hashes of word w-shingles WITHOUT materializing shingle
+    * strings: tokens are hashed once, then each shingle hash mixes the
+    * w consecutive token hashes (`xxhash64(h_i, ..., h_{i+w-1})`).
+    * Equivalent set semantics to hashing [[wordShingles]] output
+    * (collisions negligible), at a fraction of the allocation cost —
+    * the hot path of MinHash signatures over a corpus.
+    */
+  def shingleHashes(toks: Column, w: Int): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    val n = size(toks)
+    val m = n - lit(w - 1)
+    // w aligned slices of the token-hash array, folded pairwise with
+    // zip_with — strictly linear. (An element_at(th, i+k) formulation
+    // re-evaluates the whole token-hash pass per shingle: O(n²).)
+    val parts = (1 to w).map(k => slice(th, lit(k), m))
+    val combined = parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+    array_distinct(
+      when(n >= w, combined)
+        .otherwise(array(xxhash64(concat_ws(" ", toks)))))
+  }
+
   /** Polynomial rolling hash over the characters of a string:
     * `h = fold(0, (acc, ch) -> (acc*31 + codepoint(ch)) mod 1_000_000_007)`.
     * Order-sensitive document fingerprint (reference-style content

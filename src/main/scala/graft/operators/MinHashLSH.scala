@@ -30,14 +30,12 @@ object MinHashLSH {
   def signatures(docs: DataFrame, textCol: String, idCol: String,
                  numHashes: Int, shingleSize: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val shingles = TextFunctions.wordShingles(toks, shingleSize)
     val sig: Column = array(
       (0 until numHashes).map { i =>
         array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
       }: _*)
-    docs.select(col(idCol).as("id"), shingles.as("shingles"))
-      .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
-      .drop("shingles") // downstream (banding + verify) works on hashes
+    docs.select(col(idCol).as("id"),
+        TextFunctions.shingleHashes(toks, shingleSize).as("hs"))
       .withColumn("sig", sig)
   }
 

@@ -119,13 +119,12 @@ object TextQueries {
     },
 
     // ---- n-gram (token-set) Jaccard near-dup ----------------------------
-    // Spark plan: inverted-index similarity join — explode distinct
-    // tokens, self-join on (lang, token), count shared tokens per pair,
-    // jaccard = |∩| / (|A|+|B|-|∩|). Identical result to the oracle's
-    // pairwise formulation (a qualifying pair shares ≥1 token), but no
-    // quadratic array-intersect ever runs: the pair space is generated
-    // only where tokens actually collide, which is the 100 TB-viable
-    // shape (shuffle keyed by token; AQE absorbs hot-token skew).
+    // Adaptive exact similarity join (operators.JaccardJoin): bitmap
+    // popcount comparison when the vocabulary is small (every token
+    // hot → inverted index degenerates), inverted-index token join
+    // when it is large (the 100 TB corpus shape). Same result set and
+    // bit-identical jaccard under both plans; oracle is the pairwise
+    // formulation.
     QueryDef.sql(
       "d2_jaccard_blocked",
       """WITH t AS (
@@ -137,23 +136,8 @@ object TextQueries {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
-        .withColumn("n", size(col("toks")))
-      val tok = t.select(col("doc_id"), col("lang"), col("n"), explode(col("toks")).as("tok"))
-      val a = tok.select(col("doc_id").as("id_a"), col("lang"), col("n").as("na"), col("tok"))
-      val b = tok.select(col("doc_id").as("id_b"), col("lang"), col("n").as("nb"), col("tok"))
-      // length filter: jaccard ≥ 0.5 forces |A|,|B| within 2× of each
-      // other (inter ≤ min, union ≥ max) — prunes incompatible pairs
-      // before the aggregation without changing the result set
-      a.join(b, Seq("lang", "tok")).filter(col("id_a") < col("id_b")
-          && col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
-        .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .select(col("id_a"), col("id_b"),
-          (col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      graft.operators.JaccardJoin.pairs(Tables.documents(s, d),
+        idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.5)
     },
 
     // ---- composed curation pipeline: exact-dedup keeper + quality gate --

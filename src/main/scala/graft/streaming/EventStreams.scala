@@ -34,9 +34,17 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").as("hour_bucket"), col("event_type"), col("n"), col("total_value"))
 
+  /** Open-session aggregate — the ONLY per-key state the streaming
+    * sessionizer keeps. O(1) per user regardless of session length;
+    * a hot key costs the same as a cold one (the 100 TB requirement —
+    * holding raw events in state would be unbounded).
+    */
+  final case class OpenSession(n: Long, startMs: Long, lastMs: Long, sum: Double)
+
   /** Gap-based sessionization with typed state
-    * (`mapGroupsWithState`-family): a session closes after `gapMinutes`
-    * of inactivity per user. Event-time timeout keeps state bounded.
+    * (`flatMapGroupsWithState`): a session closes after `gapMinutes`
+    * of inactivity per user. Event-time timeout + aggregate-only state
+    * keep memory bounded.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -45,36 +53,40 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], Session](
+      .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, incoming: Iterator[Event], state: GroupState[List[Event]]) =>
+        (userId: Long, incoming: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val evs = state.get
+            val s = state.get
             state.remove()
-            Iterator(toSession(userId, evs))
+            Iterator(Session(userId, s.n, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.sum))
           } else {
-            val all = (state.getOption.getOrElse(Nil) ++ incoming.toList).sortBy(_.ts.getTime)
-            // close any sessions fully separated by the gap; retain the live tail
-            val (closed, open) = splitSessions(all, gapMs)
-            state.update(open)
-            state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
-            closed.map(evs => toSession(userId, evs)).iterator
+            // within one micro-batch the group's events fit an iterator
+            // sort; across batches only the aggregate survives
+            val sorted = incoming.toArray.sortBy(_.ts.getTime)
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case null => OpenSession(1L, t, t, e.value)
+                case s if t - s.lastMs <= gapMs =>
+                  OpenSession(s.n + 1, s.startMs, t, s.sum + e.value)
+                case s =>
+                  closed += Session(userId, s.n, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.sum)
+                  OpenSession(1L, t, t, e.value)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.lastMs + gapMs)
+            }
+            closed.result().iterator
           }
       }
   }
-
-  private def splitSessions(sorted: List[Event], gapMs: Long): (List[List[Event]], List[Event]) = {
-    val groups = sorted.foldLeft(List.empty[List[Event]]) {
-      case (Nil, e) => List(List(e))
-      case (cur :: done, e) if e.ts.getTime - cur.head.ts.getTime <= gapMs =>
-        (e :: cur) :: done
-      case (acc, e) => List(e) :: acc
-    }.map(_.reverse).reverse
-    (groups.init, groups.last)
-  }
-
-  private def toSession(userId: Long, evs: List[Event]): Session =
-    Session(userId, evs.length.toLong, evs.head.ts, evs.last.ts, evs.map(_.value).sum)
 
   /** Batch-mode twin of sessionize for oracle checking: same gap
     * semantics via a window-function plan (lag + cumulative session id)
