@@ -60,7 +60,7 @@ object EngineBench {
     spark.stop()
   }
 
-  private[engine] def demoConcordance: Seq[ConcordanceEntry] = {
+  def demoConcordance: Seq[ConcordanceEntry] = {
     def pv(v: String, x: String) = ConcordanceEntry(v, x, "text", "MANY", "PART-VII-01", "PC", Nil, None)
     Seq(
       pv("DTK_NAME", "/Return/ReturnData/IRS990/Form990PartVIISectionAGrp/PersonNm"),
@@ -71,7 +71,7 @@ object EngineBench {
       pv("DTK_COMP_ORG", "/Return/ReturnData/IRS990/Form990PartVIISectionA/ReportableCompFromOrganization"))
   }
 
-  private[engine] def synthDoc(ein: String, post2013: Boolean, ez: Boolean,
+  def synthDoc(ein: String, post2013: Boolean, ez: Boolean,
                                gross: Long, members: Int, seed: Int): String = {
     val form = if (ez) "990EZ" else "990"
     val month = 1 + seed % 12

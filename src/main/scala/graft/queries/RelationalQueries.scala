@@ -348,6 +348,45 @@ object RelationalQueries {
       a.unionByName(b, allowMissingColumns = true)
     },
 
+    // ---- U4/U5: intersect / except (beyond the reference's set ops) -----
+    QueryDef.sql(
+      "u4_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+    },
+
+    QueryDef.sql(
+      "u5_except",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .except(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+    },
+
+    // ---- A9: pivot to wide format (crosstab as columns) -----------------
+    QueryDef.sql(
+      "a9_pivot",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+    },
+
     // ---- W1: window rank (analytics layer; SURVEY §2.10 extension) ------
     QueryDef.sql(
       "w1_window_rank",

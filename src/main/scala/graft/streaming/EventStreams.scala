@@ -131,4 +131,29 @@ object Refresh {
       .start()
     q.awaitTermination()
   }
+
+  /** The 990 engine's monthly refresh: newly-landed XML returns are
+    * parsed with the concordance-derived sparse schema and appended to
+    * the parquet core table, exactly-once per file. Transform runs the
+    * same Column algebra as the batch build (`Core.build`).
+    */
+  def incrementalReturns(spark: SparkSession, landingGlob: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         outDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    val parsed = spark.readStream
+      .format("xml")
+      .schema(schema)
+      .option("rowTag", "Return")
+      .load(landingGlob)
+      .withColumn("source_url", input_file_name())
+    val q = graft.engine.Core.build(parsed)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -76,6 +76,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 3.0)), s"closed first session expected, got $got")
   }
 
+  test("Refresh.incrementalReturns: XML monthly refresh appends only new filings") {
+    import graft.engine.{Core, SchemaBuild}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-990-refresh").toFile
+    val landing = new java.io.File(tmp, "landing"); landing.mkdirs()
+    val out = new java.io.File(tmp, "out")
+    val ckpt = new java.io.File(tmp, "ckpt")
+    val schema = SchemaBuild.sparseSchema(Nil, SchemaBuild.headerPaths ++ Core.declaredPaths)
+
+    def land(n: Int, offset: Int): Unit = (0 until n).foreach { i =>
+      val ein = f"${200000000 + offset + i}%09d"
+      java.nio.file.Files.writeString(
+        new java.io.File(landing, s"${ein}_public.xml").toPath,
+        graft.engine.EngineBench.synthDoc(ein, post2013 = i % 2 == 0,
+          ez = i % 3 == 0, gross = 1000L + i, members = 1, seed = i))
+    }
+    land(5, 0)
+    Refresh.incrementalReturns(spark, landing.getPath, schema, out.getPath, ckpt.getPath)
+    assert(spark.read.parquet(out.getPath).count() == 5)
+
+    land(3, 100) // the next monthly release
+    Refresh.incrementalReturns(spark, landing.getPath, schema, out.getPath, ckpt.getPath)
+    val core = spark.read.parquet(out.getPath)
+    assert(core.count() == 8, "only the 3 new filings are appended")
+    assert(core.columns.contains("GROSSRECEIPTS"))
+  }
+
   test("Refresh.incrementalParquet ingests only new files across runs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-refresh").toFile
     val landing = new java.io.File(tmp, "landing"); landing.mkdirs()
