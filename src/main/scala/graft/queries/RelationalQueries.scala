@@ -387,6 +387,18 @@ object RelationalQueries {
           coalesce(col("5-LOW"), lit(0L)).as("low"))
     },
 
+    // ---- A10: exact percentiles (interpolated median per group) ---------
+    QueryDef.sql(
+      "a10_percentiles",
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+    },
+
     // ---- W1: window rank (analytics layer; SURVEY §2.10 extension) ------
     QueryDef.sql(
       "w1_window_rank",
