@@ -25,6 +25,24 @@ object Ingest {
       .distinct()
       .withColumn("TaxYear", Rules.taxYear(col("TaxPeriod")))
 
+  /** Typed view of the index (`Dataset[IndexEntry]`): compile-time
+    * column safety for driver-side orchestration code.
+    */
+  def readIndexTyped(spark: SparkSession, paths: String*): org.apache.spark.sql.Dataset[IndexEntry] = {
+    import spark.implicits._
+    val df = readIndex(spark, paths: _*)
+    val cols = df.columns.toSet
+    def get(n: String) =
+      if (cols.contains(n)) col(n).cast("string") else lit(null).cast("string")
+    df.select(
+        get("EIN").as("EIN"), get("TaxPeriod").as("TaxPeriod"), get("DLN").as("DLN"),
+        get("FormType").as("FormType"), get("URL").as("URL"),
+        get("OrganizationName").as("OrganizationName"), get("SubmittedOn").as("SubmittedOn"),
+        get("ObjectId").as("ObjectId"), get("LastUpdated").as("LastUpdated"),
+        col("TaxYear").cast("int").as("TaxYear"))
+      .as[IndexEntry]
+  }
+
   /** S2: XML corpus scan. PERMISSIVE + `_corrupt_record` quarantines
     * unparseable documents without failing the job. `schema` SHOULD be
     * passed at scale (sparse concordance-driven schema = subtree
@@ -44,7 +62,10 @@ object Ingest {
     if (s.fieldNames.contains("_corrupt_record")) s
     else s.add("_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true)
 
-  /** S5: the quarantine view (reference FAIL_LIST). */
+  /** S5: the quarantine view (reference FAIL_LIST). The input must be
+    * cached/persisted first — Spark refuses corrupt-column-only queries
+    * against a raw file scan (Pipeline.build persists the parse).
+    */
   def failed(returns: DataFrame): DataFrame =
     if (returns.columns.contains("_corrupt_record"))
       returns.filter(col("_corrupt_record").isNotNull).select(col("source_url"))

@@ -436,6 +436,24 @@ object RelationalQueries {
         sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("running_value"))
     },
 
+    // ---- W3: lag/lead/ntile window family --------------------------------
+    QueryDef.sql(
+      "w3_lag_lead_ntile",
+      """SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).cast("int").as("quartile"))
+    },
+
     // ---- Streaming-shaped batch: tumbling-window agg ----------------------
     // (Batch twin of graft.streaming's windowed aggregation.)
     QueryDef.sql(
