@@ -45,8 +45,17 @@ object TableBuild {
   /** A 1:1 table: header keys + one scalar extraction per declared-ONE
     * concordance variable of `table`, in concordance order.
     */
-  def oneToOne(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame = {
-    val vars = entries.filter(e => e.rdbTable == table && e.cardinality == "ONE")
+  def oneToOne(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame =
+    wideTable(df, entries, _ == table)
+
+  /** Generalized 1:1 projection over every table matching the filter —
+    * used to assemble the full master-driven core (all `F9-PART-*`
+    * variables as ONE wide select; the reference's 238-column `core`
+    * is the equivalent assembled by hand in R).
+    */
+  def wideTable(df: DataFrame, entries: Seq[ConcordanceEntry],
+                tableFilter: String => Boolean): DataFrame = {
+    val vars = entries.filter(e => tableFilter(e.rdbTable) && e.cardinality == "ONE")
     val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     vars.foreach(e => byVar(e.variable) = byVar.getOrElse(e.variable, Vector.empty) :+ e.xpath)
     val cols = byVar.map { case (v, xpaths) => Extract.scalar(df, xpaths).as(v) }.toSeq
@@ -65,7 +74,8 @@ object TableBuild {
     val vmap = Concordance.varMap(entries, table)
     val canonical = tableEntries.map(_.variable).distinct
 
-    val eraDfs = groups.flatMap { prefix =>
+    val eraDfs = groups.flatMap { prefix0 =>
+      val prefix = sinkToRepeated(df, tableEntries, prefix0)
       val groupXpath = "/Return/" + prefix.mkString("/")
       Extract.resolveRaw(df, groupXpath).map { case (dt, groupCol) =>
         val (itemType, arrCol) = dt match {
@@ -108,6 +118,39 @@ object TableBuild {
   }
 
   val headerNames: Seq[String] = Seq("EIN", "NAME", "TAXYR", "FORMTYPE", "OBJECT_ID", "URL")
+
+  /** G2's "re-derive the true table root when matches sit at different
+    * depths": some era spellings wrap the repeating element in an extra
+    * container (e.g. `Form990PartVIISectionB/ContractorCompensation`
+    * where other eras repeat `ContractorCompensationGrp` directly). If
+    * the divergence-derived prefix resolves to a non-repeated struct
+    * and all of the era's field paths agree on the next segment, sink
+    * the prefix until the repeated (ArrayType) element is found.
+    */
+  private def sinkToRepeated(df: DataFrame, entries: Seq[ConcordanceEntry],
+                             prefix0: Seq[String]): Seq[String] = {
+    var prefix = prefix0
+    var continue = true
+    while (continue) {
+      continue = false
+      Extract.resolveRaw(df, "/Return/" + prefix.mkString("/")) match {
+        case Some((_: StructType, _)) =>
+          val below = entries.filter(e =>
+            e.segments.startsWith(prefix) && e.segments.length > prefix.length)
+          val hasDirectLeaves = below.exists(_.segments.length == prefix.length + 1)
+          val nexts = below.map(_.segments(prefix.length)).distinct
+          // sink only when EVERY field of this era routes through one
+          // shared container (no leaf sits directly at this level) —
+          // otherwise this level IS the group (single-occurrence struct)
+          if (!hasDirectLeaves && nexts.size == 1) {
+            prefix = prefix :+ nexts.head
+            continue = true
+          }
+        case _ => () // repeated element found, or path absent from corpus
+      }
+    }
+    prefix
+  }
 
   /** P4: schedule-presence flags — non-null schedule subtree after
     * parse (reference greps the serialized DOM, `:2522-2620`).

@@ -53,6 +53,20 @@ class MasterConcordanceSpec extends SparkSpec {
     assert(nameVars.nonEmpty)
   }
 
+  test("FULL master-driven core: every F9 variable as one 2,300+-column projection") {
+    val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
+    val t0 = System.nanoTime()
+    val core = TableBuild.wideTable(parsed, master, _.startsWith("F9-PART-"))
+    val rows = core.collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"width=${core.columns.length} plan+exec=${sec}%.1fs")
+    assert(core.columns.length > 2000, s"got ${core.columns.length}")
+    assert(rows.length == 6)
+    val grVar = master.find(_.xpath == "/Return/ReturnData/IRS990/GrossReceiptsAmt").get.variable
+    val alpha = rows.find(_.getAs[String]("EIN") == "100000001").get
+    assert(alpha.getAs[String](grVar) == "500000")
+  }
+
   test("master-driven WIDE table: F9-PART-00 builds as one projection") {
     val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
     val t = TableBuild.oneToOne(parsed, master, "F9-PART-00")

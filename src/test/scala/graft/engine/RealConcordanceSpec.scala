@@ -51,6 +51,27 @@ class RealConcordanceSpec extends SparkSpec {
     assert(rows.contains(("100000002", "JOHN SMITH"))) // pre-2013 era
   }
 
+  test("contractor table (5 era spellings, one at extra depth) from the REAL crosswalk") {
+    val entries = loadRef("ConcordancePartVII.csv")
+    val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
+    val t = TableBuild.oneToMany(parsed, entries, "F9-P07-TABLE-02-CONTXR-COMPENSATION")
+    val vmap = Concordance.varMap(entries, "F9-P07-TABLE-02-CONTXR-COMPENSATION")
+    val comp = vmap("CompensationAmt")
+    val biz = vmap("BusinessNameLine1")
+    val person = vmap("PersonNm")
+    val rows = t.select(org.apache.spark.sql.functions.col("EIN"),
+        org.apache.spark.sql.functions.col(biz),
+        org.apache.spark.sql.functions.col(person),
+        org.apache.spark.sql.functions.col(comp)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("100000001", "ACME CLEANING LLC", null, "150000"),   // ContractorCompensationGrp era
+      ("100000001", "BRIGHT AUDIT LLP", null, "110000"),
+      ("100000002", "OLDTIME LEGAL PC", null, "80000"),     // SectionB-wrapped era (sunk prefix)
+      ("100000002", "CLASSIC BOOKS CPA", null, "70000"),
+      ("100000003", null, "SOLO PLUMBER", "60000")))        // EZ era
+  }
+
   test("Sched J 1:M compensation table from the REAL crosswalk spans both eras") {
     val entries = loadRef("ConcordanceSchedJ.csv")
     val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
