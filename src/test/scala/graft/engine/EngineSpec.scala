@@ -166,6 +166,26 @@ class EngineSpec extends SparkSpec {
       ("100000005", "TAX PREP", "2500")))
   }
 
+  test("Sched N table 02: dispositions across both era groups AND era leaf names") {
+    // reference roots //DispositionOfAssetsDetail|//DispositionTable
+    // with per-era leaf spellings (R:3595-3640)
+    def e(v: String, x: String) = ConcordanceEntry(v, x, "text", "MANY", "SCHED-N-02", "PZ", Nil, None)
+    val conc = Seq(
+      e("DISPASSETDESCRIP", "/Return/ReturnData/IRS990ScheduleN/DispositionOfAssetsDetail/AssetsDistriOrExpnssPaidDesc"),
+      e("DISPASSETDESCRIP", "/Return/ReturnData/IRS990ScheduleN/DispositionTable/DescriptionOfAsset"),
+      e("DISPASSETDATE", "/Return/ReturnData/IRS990ScheduleN/DispositionOfAssetsDetail/DistributionDt"),
+      e("DISPASSETDATE", "/Return/ReturnData/IRS990ScheduleN/DispositionTable/DateOfDistribution"),
+      e("DISPASSETFMV", "/Return/ReturnData/IRS990ScheduleN/DispositionOfAssetsDetail/FairMarketValueOfAssetAmt"),
+      e("DISPASSETFMV", "/Return/ReturnData/IRS990ScheduleN/DispositionTable/FairMarketValue"))
+    val t = TableBuild.oneToMany(parsed, conc, "SCHED-N-02")
+    val rows = t.collect().map(r => (r.getAs[String]("EIN"),
+      r.getAs[String]("DISPASSETDESCRIP"), r.getAs[String]("DISPASSETFMV"))).toSet
+    assert(rows == Set(
+      ("100000001", "VAN SOLD", "12000"),           // post-2013 era
+      ("100000004", "KITCHEN EQUIPMENT", "3000"),   // pre-2013 era
+      ("100000004", "DELIVERY BIKE", "400")))
+  }
+
   test("E6 objectIdFromUrl strips prefix and suffix") {
     val got = Seq("https://s3.amazonaws.com/irs-form-990/201403169349300505_public.xml")
       .toDF("u").select(Extract.objectIdFromUrl($"u")).as[String].head()
