@@ -87,6 +87,14 @@ object Concordance {
     * spelling: the diverging segments are the leaf fields themselves),
     * the group is the common parent instead.
     */
+  /** Elements that are document singletons by XSD definition — they can
+    * never be a repeating group, whatever the path divergence suggests
+    * (guards scalar indicator "tables" like F9-P07-TABLE-03, whose 6
+    * era spellings diverge at the leaf under the form root).
+    */
+  private val SingletonRoots =
+    Set("ReturnData", "ReturnHeader", "IRS990", "IRS990EZ", "IRS990PF")
+
   def groupPaths(entries: Seq[ConcordanceEntry], table: String): Seq[Seq[String]] = {
     val paths = entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
       .map(_.segments)
@@ -97,12 +105,13 @@ object Concordance {
     // spellings are kept for path resolution.
     val norm = paths.map(_.map(_.replace("IRS990EZ", "IRS990")))
     val minLen = paths.map(_.length).min
-    (0 until minLen).find(i => norm.map(_(i)).distinct.size > 1) match {
+    val raw = (0 until minLen).find(i => norm.map(_(i)).distinct.size > 1) match {
       case None => paths.map(_.take(minLen - 1)).distinct
       case Some(i) if i == minLen - 1 && paths.forall(_.length == minLen) =>
         paths.map(_.take(i)).distinct // leaf-level divergence: group = common parent
       case Some(i) => paths.map(_.take(i + 1)).distinct
     }
+    raw.filterNot(p => p.lastOption.exists(SingletonRoots.contains))
   }
 
   /** Raw leaf name → canonical variable for a table (reference
