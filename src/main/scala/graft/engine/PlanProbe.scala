@@ -33,6 +33,18 @@ object PlanProbe {
       println(f"[probe] $p cols=${df.columns.length} build=$tPlan0%.1fs plan=$tAnalyze%.1fs exec=$tExec%.1fs")
     }
 
+    // alternative shape: stage the parse as NESTED PARQUET, then read
+    // per-part with nested-schema pruning (only the part's subtrees)
+    val raw2 = Ingest.readReturns(spark, corpus, Some(schema))
+    val (_, tStage) = time(raw2.write.mode("overwrite").parquet("/tmp/probe_staging"))
+    println(f"[probe] stage-to-nested-parquet: $tStage%.1fs")
+    val staged = spark.read.parquet("/tmp/probe_staging")
+    Seq("F9-PART-00", "F9-PART-08").foreach { p =>
+      val (_, tExec) = time(TableBuild.oneToOne(staged, f9, p)
+        .write.mode("overwrite").parquet(s"/tmp/probe_out/staged_$p"))
+      println(f"[probe] staged $p exec=$tExec%.1fs")
+    }
+
     // alternative shape: ONE wide flat projection off the RAW parse
     // (no nested cache), then cache the flat table and select parts
     val raw = Ingest.readReturns(spark, corpus, Some(schema))
