@@ -28,6 +28,9 @@ object FullBuild {
       // XML element names are case-sensitive; the master crosswalk has
       // sibling fields differing only in case (e.g. AppliedToESTaxAmt)
       .config("spark.sql.caseSensitive", "true")
+      // wide projections: whole-stage codegen defaults off above 100
+      // fields (spark.sql.codegen.maxFields) - measured 2.4x on 305-col
+      .config("spark.sql.codegen.maxFields", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

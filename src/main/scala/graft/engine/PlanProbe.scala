@@ -13,6 +13,7 @@ object PlanProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.codegen.maxFields", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
