@@ -46,6 +46,20 @@ class MasterConcordanceSpec extends SparkSpec {
     assert(got("100000001") == "500000")
   }
 
+  test("990PF scope: master-driven AFS table extracts from the PF fixture") {
+    val afs = master.filter(e => e.scope == "PF" &&
+      e.xpath.startsWith("/Return/ReturnData/AccountingFeesSchedule/"))
+    assume(afs.nonEmpty)
+    val table = afs.head.rdbTable
+    val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
+    val t = TableBuild.oneToOne(parsed, master, table)
+    val catVar = master.find(e => e.rdbTable == table &&
+      e.xpath.endsWith("AccountingFees/Category")).get.variable
+    val row = t.filter(org.apache.spark.sql.functions.col("EIN") === "100000005").head()
+    // declared-ONE policy over a repeated group: first occurrence
+    assert(row.getAs[String](catVar) == "AUDIT")
+  }
+
   test("era-variant xpaths of one master variable resolve by coalesce across fixtures") {
     // find a variable with BOTH a pre-2013 and post-2013 spelling that
     // our fixtures carry: the 990 name line
