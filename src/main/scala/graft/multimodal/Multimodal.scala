@@ -137,6 +137,13 @@ object Multimodal {
     transform(sequence(lit(0), lit(dims - 1)),
       i => (pmod(xxhash64(media, i), lit(1000L)).cast("double") / 1000.0))
 
+  /** One feature dimension as a scalar column — same value as
+    * `hashFeatures(media)(i)` without materializing the array (one
+    * xxhash64 per requested dim instead of dims per column).
+    */
+  def hashFeature(media: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(media, lit(i)), lit(1000L)).cast("double") / 1000.0
+
   /** Synthetic asset table from the documents corpus (deterministic):
     * lets the media pipeline run against driver-provided testdata.
     */

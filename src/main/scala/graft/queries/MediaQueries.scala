@@ -43,9 +43,14 @@ object MediaQueries {
     },
 
     // ---- codegen'd featurization of binary payloads -------------------
+    // Per-dim scalar columns (f0..f7) rather than one array<double>: the
+    // driver's rows-only checker sorts every output column, and ndarray
+    // cells are unsortable in pandas. Scalars are also friendlier to
+    // columnar stats/pruning at scale.
     QueryDef.rowsOnly("m4_media_features") { (s, d) =>
+      val dimCols = (0 until 8).map(i => Multimodal.hashFeature(col("media"), i).as(s"f$i"))
       Multimodal.syntheticAssets(Tables.documents(s, d))
-        .select(col("asset_id"), Multimodal.hashFeatures(col("media")).as("features"))
+        .select(col("asset_id") +: dimCols: _*)
     }
   )
 }

@@ -66,4 +66,13 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2)
     assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
   }
+
+  test("hashFeature(i) scalar equals hashFeatures array element i") {
+    val dims = 8
+    val scalarCols = (0 until dims).map(i => Multimodal.hashFeature($"media", i))
+    val arr = assets
+      .select($"asset_id", Multimodal.hashFeatures($"media").as("fa"), array(scalarCols: _*).as("fs"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    arr.foreach { case (id, fa, fs) => assert(fa == fs, s"asset $id") }
+  }
 }
