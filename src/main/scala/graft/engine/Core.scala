@@ -37,19 +37,20 @@ object Core {
       "/Return/ReturnData/IRS990/TotalExpensesCurrentYear",
       "/Return/ReturnData/IRS990EZ/TotalExpensesAmt",
       "/Return/ReturnData/IRS990EZ/TotalExpenses")
+    // Reference spellings `:553-598`: PC and EZ share TypeOfOrganization*.
     val orgCorp = Seq(
-      "/Return/ReturnData/IRS990/OrganizationCorporationInd",
-      "/Return/ReturnData/IRS990/OrganizationCorporation",
+      "/Return/ReturnData/IRS990/TypeOfOrganizationCorpInd",
+      "/Return/ReturnData/IRS990/TypeOfOrganizationCorporation",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationCorpInd",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationCorporation")
     val orgTrust = Seq(
-      "/Return/ReturnData/IRS990/OrganizationTrustInd",
-      "/Return/ReturnData/IRS990/OrganizationTrust",
+      "/Return/ReturnData/IRS990/TypeOfOrganizationTrustInd",
+      "/Return/ReturnData/IRS990/TypeOfOrganizationTrust",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationTrustInd",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationTrust")
     val orgAssoc = Seq(
-      "/Return/ReturnData/IRS990/OrganizationAssociationInd",
-      "/Return/ReturnData/IRS990/OrganizationAssociation",
+      "/Return/ReturnData/IRS990/TypeOfOrganizationAssocInd",
+      "/Return/ReturnData/IRS990/TypeOfOrganizationAssociation",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationAssocInd",
       "/Return/ReturnData/IRS990EZ/TypeOfOrganizationAssociation")
     val acctCash = Seq(
@@ -62,35 +63,41 @@ object Core {
       "/Return/ReturnData/IRS990/MethodOfAccountingAccrual",
       "/Return/ReturnData/IRS990EZ/MethodOfAccountingAccrualInd",
       "/Return/ReturnData/IRS990EZ/MethodOfAccountingAccrual")
-    val domicile = Seq(
-      "/Return/ReturnData/IRS990/StateLegalDomicileCd",
+    val domicile = Seq( // `:524-525`
+      "/Return/ReturnData/IRS990/LegalDomicileStateCd",
       "/Return/ReturnData/IRS990/StateLegalDomicile")
+    // Fees are nested group totals on PC (`:1215-1216` ff.)
     val feesMgmt = Seq(
-      "/Return/ReturnData/IRS990/FeesForServicesManagementAmt",
-      "/Return/ReturnData/IRS990/FeesForServicesManagement")
+      "/Return/ReturnData/IRS990/FeesForServicesManagementGrp/TotalAmt",
+      "/Return/ReturnData/IRS990/FeesForServicesManagement/Total")
     val feesLegal = Seq(
-      "/Return/ReturnData/IRS990/FeesForServicesLegalAmt",
-      "/Return/ReturnData/IRS990/FeesForServicesLegal")
+      "/Return/ReturnData/IRS990/FeesForServicesLegalGrp/TotalAmt",
+      "/Return/ReturnData/IRS990/FeesForServicesLegal/Total")
     val feesAcct = Seq(
-      "/Return/ReturnData/IRS990/FeesForServicesAccountingAmt",
-      "/Return/ReturnData/IRS990/FeesForServicesAccounting")
+      "/Return/ReturnData/IRS990/FeesForServicesAccountingGrp/TotalAmt",
+      "/Return/ReturnData/IRS990/FeesForServicesAccounting/Total")
+    // EZ consolidated contractor fees — PROFEESINDEP all-NA fallback `:1293-1303`
+    val ezProfFees = Seq(
+      "/Return/ReturnData/IRS990EZ/FeesAndOtherPymtToIndCntrctAmt",
+      "/Return/ReturnData/IRS990EZ/FeesAndOthPymtToIndContractors")
     val ezEventExp = Seq(
       "/Return/ReturnData/IRS990EZ/SpecialEventsDirectExpensesAmt",
       "/Return/ReturnData/IRS990EZ/SpecialEventsDirectExpenses")
-    val pcFundraisingExp = Seq(
+    val pcFundraisingExp = Seq( // `:1023-1024`
       "/Return/ReturnData/IRS990/FundraisingDirectExpensesAmt",
-      "/Return/ReturnData/IRS990/DirectExpenses")
+      "/Return/ReturnData/IRS990/FundraisingDirectExpenses")
     val pcGamingExp = Seq(
       "/Return/ReturnData/IRS990/GamingDirectExpensesAmt",
       "/Return/ReturnData/IRS990/GamingDirectExpenses")
-    val votingMembers = Seq(
+    val votingMembers = Seq( // `:776-777`
       "/Return/ReturnData/IRS990/VotingMembersGoverningBodyCnt",
-      "/Return/ReturnData/IRS990/VotingMembersGoverningBody")
+      "/Return/ReturnData/IRS990/NbrVotingMembersGoverningBody")
 
     val all: Seq[String] =
       grossReceipts ++ totRev ++ totExp ++ orgCorp ++ orgTrust ++ orgAssoc ++
         acctCash ++ acctAccrual ++ domicile ++ feesMgmt ++ feesLegal ++
-        feesAcct ++ ezEventExp ++ pcFundraisingExp ++ pcGamingExp ++ votingMembers
+        feesAcct ++ ezProfFees ++ ezEventExp ++ pcFundraisingExp ++
+        pcGamingExp ++ votingMembers
   }
 
   /** Every xpath this builder reads — input for sparse-schema synthesis. */
@@ -110,19 +117,31 @@ object Core {
       Rules.checkboxLabel(s(P.orgCorp), "Corporation"),
       Rules.checkboxLabel(s(P.orgTrust), "Trust")))
 
+    // Reference pastes ACCTACCRUAL then ACCTCASH (`:671`) — both-checked
+    // docs must collapse to "AccrualCash", not "CashAccrual".
     val acctMethod = Rules.checkboxCollapse(Seq(
-      Rules.checkboxLabel(s(P.acctCash), "Cash"),
-      Rules.checkboxLabel(s(P.acctAccrual), "Accrual")))
+      Rules.checkboxLabel(s(P.acctAccrual), "Accrual"),
+      Rules.checkboxLabel(s(P.acctCash), "Cash")))
 
     // E4 multi-value collapse (DOMICILE :519-528)
     val domicile = Extract.multiValue(df, P.domicile)
 
-    // R4-style fee sum for PC
-    val profFees = Rules.naSum(Seq(s(P.feesMgmt), s(P.feesLegal), s(P.feesAcct)))
+    // PROFEESINDEP `:1290-1305`: PC fee parts are zeroPC'd then NA-skip
+    // summed; when ALL parts are NA (EZ docs — zeroPC leaves them null)
+    // fall back to the EZ consolidated field; zeroALL the result.
+    val profFees = coalesce(
+      Rules.naSum(Seq(P.feesMgmt, P.feesLegal, P.feesAcct)
+        .map(p => Rules.zeroPC(s(p), ft))),
+      s(P.ezProfFees).cast("double"),
+      lit(0.0))
 
-    // R3 conditional source-or-sum (EZ direct field vs PC sum)
-    val eventExp = Rules.sourceOrSum(ft,
-      s(P.ezEventExp), Seq(s(P.pcFundraisingExp), s(P.pcGamingExp)))
+    // R3 conditional source-or-sum (EZ direct field vs PC sum); the PC
+    // parts are zeroPC'd and the result zeroALL'd per EXPGAMINGFNDEVENTS
+    // `:1014-1044`.
+    val eventExp = coalesce(
+      Rules.sourceOrSum(ft, s(P.ezEventExp),
+        Seq(P.pcFundraisingExp, P.pcGamingExp).map(p => Rules.zeroPC(s(p), ft))),
+      lit(0.0))
 
     val votingMembers = Rules.zeroPC(s(P.votingMembers), ft)
 

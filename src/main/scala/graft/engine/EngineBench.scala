@@ -92,8 +92,12 @@ object EngineBench {
       case (false, _) => s"<GrossReceipts>$gross</GrossReceipts>"
     }
     val body =
-      if (ez) s"<IRS990EZ>$grTag<TotalRevenueAmt>${gross / 2}</TotalRevenueAmt></IRS990EZ>"
-      else {
+      if (ez) {
+        // pre-2013 EZ schema spells the field TotalRevenue (no Amt suffix)
+        val rev = if (post2013) s"<TotalRevenueAmt>${gross / 2}</TotalRevenueAmt>"
+                  else s"<TotalRevenue>${gross / 2}</TotalRevenue>"
+        s"<IRS990EZ>$grTag$rev</IRS990EZ>"
+      } else {
         val grp = (0 until members).map { m =>
           if (post2013)
             s"""<Form990PartVIISectionAGrp><PersonNm>P$m OF $ein</PersonNm><TitleTxt>T$m</TitleTxt>
@@ -102,7 +106,9 @@ object EngineBench {
             s"""<Form990PartVIISectionA><NamePerson>P$m OF $ein</NamePerson><Title>T$m</Title>
                |<ReportableCompFromOrganization>${1000 * (m + 1)}</ReportableCompFromOrganization></Form990PartVIISectionA>""".stripMargin
         }.mkString("\n")
-        s"<IRS990>$grTag<CYTotalRevenueAmt>${gross / 2}</CYTotalRevenueAmt>\n$grp</IRS990>"
+        val rev = if (post2013) s"<CYTotalRevenueAmt>${gross / 2}</CYTotalRevenueAmt>"
+                  else s"<TotalRevenueCurrentYear>${gross / 2}</TotalRevenueCurrentYear>"
+        s"<IRS990>$grTag$rev\n$grp</IRS990>"
       }
     s"""<?xml version="1.0" encoding="utf-8"?>
        |<Return returnVersion="${if (post2013) "2014v5.0" else "2012v2.1"}" xmlns="http://www.irs.gov/efile">

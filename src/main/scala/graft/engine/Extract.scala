@@ -93,7 +93,9 @@ object Extract {
   def multiValue(df: DataFrame, xpaths: Seq[String], sep: String = " "): Column = {
     val arrays = xpaths.flatMap(x => walk(df.schema, toSegments(x))).map {
       case (ArrayType(_, _), c) => c.cast(ArrayType(StringType))
-      case (_, c) => array(c.cast("string"))
+      // array(null) is a non-null array — guard so an absent scalar
+      // variant yields NULL and coalesce can fall through to the next era
+      case (_, c) => when(c.isNotNull, array(c.cast("string")))
     }
     if (arrays.isEmpty) lit(null).cast("string")
     else array_join(coalesce(arrays: _*), sep)

@@ -56,24 +56,33 @@ class EngineSpec extends SparkSpec {
     assert(core("100000004")("FORMORG") == "Corporation")
   }
 
-  test("R6 ACCTMETHOD collapse across eras") {
+  test("R6 ACCTMETHOD collapse across eras; both-checked pastes Accrual then Cash") {
     assert(core("100000001")("ACCTMETHOD") == "Accrual")
     assert(core("100000002")("ACCTMETHOD") == "Cash")
+    assert(core("100000006")("ACCTMETHOD") == "AccrualCash") // reference paste order :671
   }
 
-  test("R4 naSum sums present fee parts, ignores missing") {
-    assert(core("100000001")("PROFFEES") == 15000.0) // 12000 + 3000
-    assert(core("100000002")("PROFFEES") == 5000.0)
-    assert(core("100000003")("PROFFEES") == null)    // EZ: no fee fields → null
+  test("E4 DOMICILE across era spellings") {
+    assert(core("100000001")("DOMICILE") == "NY") // LegalDomicileStateCd
+    assert(core("100000002")("DOMICILE") == "CA") // StateLegalDomicile
   }
 
-  test("R3 sourceOrSum: EZ reads its field directly") {
+  test("PROFFEES: PC zeroPC'd fee-group sum; EZ falls back to consolidated field; zeroALL") {
+    assert(core("100000001")("PROFFEES") == 15000.0) // 12000 + 3000 (Grp/TotalAmt)
+    assert(core("100000002")("PROFFEES") == 5000.0)  // pre-2013 …/Total
+    assert(core("100000003")("PROFFEES") == 2500.0)  // EZ consolidated fallback
+    assert(core("100000004")("PROFFEES") == 0.0)     // all missing → zeroALL
+  }
+
+  test("R3 sourceOrSum: EZ reads its field directly; PC sums zeroPC'd parts") {
     assert(core("100000003")("EXPEVENTS") == 4000.0)
     assert(core("100000004")("EXPEVENTS") == 1500.0)
+    assert(core("100000001")("EXPEVENTS") == 0.0) // PC, no event fields → 0+0
   }
 
   test("R2 zeroPC: defaults only on 990, leaves EZ null") {
     assert(core("100000001")("VOTINGMEMBERS") == "9")
+    assert(core("100000002")("VOTINGMEMBERS") == "7")  // pre-2013 NbrVotingMembersGoverningBody
     assert(core("100000003")("VOTINGMEMBERS") == null) // EZ — rule must not touch
   }
 
