@@ -16,6 +16,14 @@ object FullBuild {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10000)
     val work = if (args.length > 1) args(1) else "/tmp/graft_full_build"
+    // "struct" (default): ONE pass over the parse staging per-part
+    // struct blobs + child group arrays into the columnar cache; the 18
+    // part writes and child explodes then run concurrently against
+    // pruned cache reads. "flat" stages one cached column per variable
+    // instead. "cached"/"staged": earlier shapes, kept for same-session
+    // A/B (host CPU swings ±3×; measured cached=75.1s vs struct=41.7s
+    // back-to-back at 10k docs).
+    val mode = if (args.length > 2) args(2) else "struct"
     val refDir = "/root/reference"
     if (!new java.io.File(s"$refDir/MASTER_CONCORDANCE_V0.csv").isFile) {
       System.err.println("[full-build] reference crosswalks not present; nothing to do")
@@ -58,11 +66,18 @@ object FullBuild {
     val f9 = master.filter(_.rdbTable.startsWith("F9-PART-"))
     val schema = SchemaBuild.sparseSchema(f9 ++ childConcordance,
       SchemaBuild.headerPaths ++ Core.declaredPaths)
-    val parsed = Ingest.readReturns(spark, corpusDir, Some(schema))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nParsed = parsed.count()
-    val tParse = (System.nanoTime() - t0) / 1e9
-    println(f"[full-build] parse: $nParsed docs in ${tParse}%.1fs (${nParsed / tParse}%.0f docs/s)")
+    // flat mode consumes the parse exactly once (the staging pass), so
+    // it neither caches the nested rows nor runs a timing pre-pass
+    val parsed =
+      if (mode == "flat" || mode == "struct") Ingest.readReturns(spark, corpusDir, Some(schema))
+      else {
+        val p = Ingest.readReturns(spark, corpusDir, Some(schema))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nParsed = p.count()
+        val tParse = (System.nanoTime() - t0) / 1e9
+        println(f"[full-build] parse: $nParsed docs in ${tParse}%.1fs (${nParsed / tParse}%.0f docs/s)")
+        p
+      }
 
     // one output table per F9 part (the master's DATABASE_TABLE layout;
     // the reference likewise writes per-table files). Bounded projection
@@ -70,12 +85,134 @@ object FullBuild {
     // 2,375-column projection measured ~12× slower than the sum of its
     // per-part projections.
     val parts = f9.map(_.rdbTable).distinct.sorted
-    parts.foreach { p =>
-      Emit.writeTable(TableBuild.oneToOne(parsed, f9, p), s"$work/out", p)
-    }
     val childTables = childConcordance.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
-    childTables.foreach { t =>
-      Emit.writeTable(TableBuild.oneToMany(parsed, childConcordance, t), s"$work/out", t)
+    if (mode == "flat" || mode == "struct") {
+      // Stage ALL scalar variables as FLAT prefixed string columns plus
+      // the child-table group arrays, in ONE pass over the parse (which
+      // is never cached in its 4,900-leaf nested form). The in-memory
+      // columnar cache stores one pruned-readable column per variable,
+      // so a per-part pass touches only its ~135 columns and a child
+      // pass only its group-array blob.
+      import org.apache.spark.sql.functions.col
+      def lap(label: String)(f: => Unit): Unit = {
+        val s = System.nanoTime(); f
+        println(f"[full-build]   $label: ${(System.nanoTime() - s) / 1e9}%.1fs")
+      }
+      val partCols = parts.map(p =>
+        p -> TableBuild.varColumns(parsed, f9, _ == p)).toMap
+      // layout A ("flat"): one cached column per variable — cheapest
+      // per-part reads, priciest cache build (2,500 column builders).
+      // layout B ("struct"): one struct blob per part — cheap cache
+      // build, per-part reads decode one blob.
+      val stageCols =
+        if (mode == "flat")
+          parts.flatMap(p => partCols(p).map { case (v, c) => c.as(s"${p}__$v") })
+        else
+          parts.filter(p => partCols(p).nonEmpty).map(p =>
+            org.apache.spark.sql.functions.struct(
+              partCols(p).map { case (v, c) => c.as(v) }: _*).as(s"T_$p"))
+      def partOutCols(p: String): Seq[org.apache.spark.sql.Column] =
+        if (mode == "flat") partCols(p).map { case (v, _) => col(s"${p}__$v").as(v) }
+        else partCols(p).map { case (v, _) => col(s"T_$p").getField(v).as(v) }
+      val childGroups: Seq[(String, String, TableBuild.EraGroup)] =
+        childTables.flatMap(t =>
+          TableBuild.eraGroups(parsed, childConcordance, t).zipWithIndex.map {
+            case (g, i) => (t, s"G_${t}__$i", g)
+          })
+      val stagedSel = parsed
+        .select(TableBuild.headerCols(parsed) ++ stageCols ++
+          childGroups.map { case (_, n, g) => g.arr.as(n) }: _*)
+      if (sys.env.contains("GRAFT_PROBE")) {
+        // same-session A/B: cache materialize with vs without WSC
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val c1 = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
+        lap("probe-cache-nowsc")(c1.count())
+        c1.unpersist(blocking = true)
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        val c2 = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
+        lap("probe-cache-wsc")(c2.count())
+        c2.unpersist(blocking = true)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val c3 = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
+        lap("probe-cache-nowsc-2")(c3.count())
+        c3.unpersist(blocking = true)
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      }
+      val staged = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
+      // the 2,500-expression staging projection overflows whole-stage
+      // codegen's method budget (JIT gives up on the huge method);
+      // plain split-method UnsafeProjection is ~30% faster — toggle
+      // WSC off for this one pass only
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      lap("stage-materialize")(staged.count())
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      // per-table output jobs are small; driver planning + job latency
+      // dominates, so run them concurrently (a cluster does the same)
+      val pool = new java.util.concurrent.ForkJoinPool(8)
+      def inParallel[A](xs: Seq[A])(f: A => Unit): Unit = {
+        val tasks = xs.map(x => pool.submit(new java.util.concurrent.RecursiveAction {
+          override def compute(): Unit = f(x)
+        }))
+        tasks.foreach(_.join())
+      }
+      lap("part-writes")(inParallel(parts) { p =>
+        val out = staged.select(TableBuild.headerNames.map(col) ++ partOutCols(p): _*)
+        Emit.writeTable(out.coalesce(4), s"$work/out", p)
+      })
+      lap("child-tables")(inParallel(childTables) { t =>
+        val eraDfs = childGroups.collect { case (`t`, n, g) =>
+          TableBuild.explodeGroup(staged, g, col(n), TableBuild.headerNames.map(col))
+        }
+        val child = TableBuild.assembleChild(eraDfs,
+          TableBuild.canonicalVars(childConcordance, t),
+          staged.limit(0).select(TableBuild.headerNames.map(col): _*))
+        Emit.writeTable(child.coalesce(4), s"$work/out", t)
+      })
+      pool.shutdown()
+      staged.unpersist()
+    } else if (mode == "staged") {
+      // ONE extraction pass: header + one struct per part. Each struct's
+      // expression tree is bounded (~135 fields), so codegen stays
+      // effective, and the cache stores 18 independent blob columns the
+      // in-memory columnar scan can prune per part.
+      import org.apache.spark.sql.functions.{col, struct}
+      val partCols = parts.map(p =>
+        p -> TableBuild.varColumns(parsed, f9, _ == p)).toMap
+      val structCols = parts.filter(p => partCols(p).nonEmpty).map { p =>
+        struct(partCols(p).map { case (v, c) => c.as(v) }: _*).as(s"T_$p")
+      }
+      def lap(label: String)(f: => Unit): Unit = {
+        val s = System.nanoTime(); f
+        println(f"[full-build]   $label: ${(System.nanoTime() - s) / 1e9}%.1fs")
+      }
+      val staged = parsed
+        .select(TableBuild.headerCols(parsed) ++ structCols: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      lap("stage-materialize")(staged.count())
+      // child tables need the nested parse: run them while it is cached
+      lap("child-tables")(childTables.foreach { t =>
+        Emit.writeTable(TableBuild.oneToMany(parsed, childConcordance, t), s"$work/out", t)
+      })
+      parsed.unpersist()
+      def partDf(p: String) = staged.select(
+        TableBuild.headerNames.map(col) ++
+          partCols(p).map { case (v, _) => col(s"T_$p").getField(v).as(v) }: _*)
+      if (sys.env.contains("GRAFT_PROBE")) {
+        lap("probe-counts")(parts.foreach(p => partDf(p).filter(col("EIN").isNotNull).count()))
+        lap("probe-write-nopart")(parts.foreach(p =>
+          partDf(p).write.mode("overwrite").parquet(s"$work/out_nopart/$p")))
+        lap("probe-write-coalesced")(parts.foreach(p =>
+          partDf(p).coalesce(4).write.mode("overwrite").partitionBy("TAXYR").parquet(s"$work/out_c4/$p")))
+      }
+      lap("part-writes")(parts.foreach(p => Emit.writeTable(partDf(p), s"$work/out", p)))
+      staged.unpersist()
+    } else {
+      parts.foreach { p =>
+        Emit.writeTable(TableBuild.oneToOne(parsed, f9, p), s"$work/out", p)
+      }
+      childTables.foreach { t =>
+        Emit.writeTable(TableBuild.oneToMany(parsed, childConcordance, t), s"$work/out", t)
+      }
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
 

@@ -54,12 +54,19 @@ object TableBuild {
     * is the equivalent assembled by hand in R).
     */
   def wideTable(df: DataFrame, entries: Seq[ConcordanceEntry],
-                tableFilter: String => Boolean): DataFrame = {
+                tableFilter: String => Boolean): DataFrame =
+    df.select(headerCols(df) ++
+      varColumns(df, entries, tableFilter).map { case (v, c) => c.as(v) }: _*)
+
+  /** The per-variable extraction columns of a table slice, in
+    * concordance order (era variants coalesced per variable).
+    */
+  def varColumns(df: DataFrame, entries: Seq[ConcordanceEntry],
+                 tableFilter: String => Boolean): Seq[(String, Column)] = {
     val vars = entries.filter(e => tableFilter(e.rdbTable) && e.cardinality == "ONE")
     val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     vars.foreach(e => byVar(e.variable) = byVar.getOrElse(e.variable, Vector.empty) :+ e.xpath)
-    val cols = byVar.map { case (v, xpaths) => Extract.scalar(df, xpaths).as(v) }.toSeq
-    df.select(headerCols(df) ++ cols: _*)
+    byVar.map { case (v, xpaths) => v -> Extract.scalar(df, xpaths) }.toSeq
   }
 
   /** A 1:M child table (G4 `build_rdb_table`): explode each era variant
@@ -68,13 +75,19 @@ object TableBuild {
     * per document exactly one era matches, so the union is disjoint.
     * Missing canonical columns are null-filled to a fixed schema.
     */
-  def oneToMany(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame = {
-    val tableEntries = entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
-    val groups = Concordance.groupPaths(entries, table)
-    val vmap = Concordance.varMap(entries, table)
-    val canonical = tableEntries.map(_.variable).distinct
+  /** One resolved era variant of a repeating group: its array column
+    * over the parsed frame, the item struct type, and each canonical
+    * variable's relative paths inside the item.
+    */
+  final case class EraGroup(prefix: Seq[String], itemType: StructType, arr: Column,
+                            relByVar: Seq[(String, Vector[String])])
 
-    val eraDfs = groups.flatMap { prefix0 =>
+  /** The group-resolution half of the 1:M builder, reusable by staged
+    * pipelines that pre-project the group arrays (FullBuild `flat`).
+    */
+  def eraGroups(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): Seq[EraGroup] = {
+    val tableEntries = entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
+    Concordance.groupPaths(entries, table).flatMap { prefix0 =>
       val prefix = sinkToRepeated(df, tableEntries, prefix0)
       val groupXpath = "/Return/" + prefix.mkString("/")
       Extract.resolveRaw(df, groupXpath).map { case (dt, groupCol) =>
@@ -96,25 +109,48 @@ object TableBuild {
             relByVar(e.variable) =
               relByVar.getOrElse(e.variable, Vector.empty) :+ segs.drop(prefix.length).mkString("/")
         }
-        val exploded = df.select(headerCols(df) :+ explode(arrCol).as("item"): _*)
-        val itemCols = relByVar.map { case (v, rels) =>
-          Extract.relative(itemType, col("item"), rels).as(v)
-        }.toSeq
-        exploded.select((headerNames.map(col) ++ itemCols): _*)
+        EraGroup(prefix, itemType, arrCol, relByVar.toSeq)
       }
     }
+  }
 
+  /** Explode one era group into canonical-named columns. `headerSel`
+    * supplies the replicated parent-key columns for the source frame.
+    */
+  def explodeGroup(df: DataFrame, g: EraGroup, arr: Column, headerSel: Seq[Column]): DataFrame = {
+    val exploded = df.select(headerSel :+ explode(arr).as("item"): _*)
+    val itemCols = g.relByVar.map { case (v, rels) =>
+      Extract.relative(g.itemType, col("item"), rels).as(v)
+    }
+    exploded.select(headerNames.map(col) ++ itemCols: _*)
+  }
+
+  /** Union era variants by name and null-fill to the fixed canonical
+    * schema; `emptyProto` must already carry the header columns.
+    */
+  def assembleChild(eraDfs: Seq[DataFrame], canonical: Seq[String],
+                    emptyProto: => DataFrame): DataFrame = {
     val unioned = eraDfs match {
       case Seq() => // group absent from this corpus: empty table, fixed schema
-        val empty = df.limit(0)
-        empty.select(headerCols(empty) ++ canonical.map(v => lit(null).cast("string").as(v)): _*)
+        emptyProto.select(headerNames.map(col) ++
+          canonical.map(v => lit(null).cast("string").as(v)): _*)
       case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    // fixed output schema: header + all canonical vars, null-filled
     val have = unioned.columns.toSet
     val out = canonical.filterNot(have.contains)
       .foldLeft(unioned)((d, v) => d.withColumn(v, lit(null).cast("string")))
     out.select((headerNames ++ canonical).map(col): _*)
+  }
+
+  def canonicalVars(entries: Seq[ConcordanceEntry], table: String): Seq[String] =
+    entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
+      .map(_.variable).distinct
+
+  def oneToMany(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame = {
+    val eraDfs = eraGroups(df, entries, table).map(g =>
+      explodeGroup(df, g, g.arr, headerCols(df)))
+    assembleChild(eraDfs, canonicalVars(entries, table),
+      df.limit(0).select(headerCols(df.limit(0)): _*))
   }
 
   val headerNames: Seq[String] = Seq("EIN", "NAME", "TAXYR", "FORMTYPE", "OBJECT_ID", "URL")
