@@ -73,8 +73,16 @@ object EngineBench {
   }
 
   def synthDoc(ein: String, post2013: Boolean, ez: Boolean,
-                               gross: Long, members: Int, seed: Int): String = {
-    val form = if (ez) "990EZ" else "990"
+               gross: Long, members: Int, seed: Int): String =
+    synthDoc(ein, post2013, if (ez) "990EZ" else "990", gross, members, seed)
+
+  /** Form-typed variant: "990" | "990EZ" | "990PF". PF docs carry an
+    * IRS990PF core slice plus a repeating AccountingFeesSchedule
+    * (master rows FORM=AFS), exercising the PF build path.
+    */
+  def synthDoc(ein: String, post2013: Boolean, form: String,
+               gross: Long, members: Int, seed: Int): String = {
+    val ez = form == "990EZ"
     val month = 1 + seed % 12
     val header =
       if (post2013)
@@ -92,7 +100,17 @@ object EngineBench {
       case (false, _) => s"<GrossReceipts>$gross</GrossReceipts>"
     }
     val body =
-      if (ez) {
+      if (form == "990PF") {
+        val fees = (0 until 1 + seed % 3).map { k =>
+          s"""<AccountingFees><Category>CAT$k</Category><Amount>${500L * (k + 1)}</Amount>
+             |<AdjustedNetIncome>${100L * k}</AdjustedNetIncome></AccountingFees>""".stripMargin
+        }.mkString("\n")
+        s"""<IRS990PF><AddressChangeInd>X</AddressChangeInd>
+           |<AnalysisIncomeProducingActy><DividendsAndIntFromSecPartVII>
+           |<ExclusionAmount>${gross / 4}</ExclusionAmount>
+           |</DividendsAndIntFromSecPartVII></AnalysisIncomeProducingActy></IRS990PF>
+           |<AccountingFeesSchedule>$fees</AccountingFeesSchedule>""".stripMargin
+      } else if (ez) {
         // pre-2013 EZ schema spells the field TotalRevenue (no Amt suffix)
         val rev = if (post2013) s"<TotalRevenueAmt>${gross / 2}</TotalRevenueAmt>"
                   else s"<TotalRevenue>${gross / 2}</TotalRevenue>"

@@ -24,6 +24,10 @@ object FullBuild {
     // A/B (host CPU swings ±3×; measured cached=75.1s vs struct=41.7s
     // back-to-back at 10k docs).
     val mode = if (args.length > 2) args(2) else "struct"
+    // scope "full" (default): all 9,731 master rows — PC+EZ+PF F9 parts
+    // plus the 131 PF attachment-schedule tables. "f9": round-1 surface
+    // (F9-PART tables only), for comparable throughput numbers.
+    val scope = if (args.length > 3) args(3) else "full"
     val refDir = "/root/reference"
     if (!new java.io.File(s"$refDir/MASTER_CONCORDANCE_V0.csv").isFile) {
       System.err.println("[full-build] reference crosswalks not present; nothing to do")
@@ -48,9 +52,12 @@ object FullBuild {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
     (0 until n).foreach { i =>
       val ein = f"${100000000L + i}%09d"
+      // form mix approximates the corpus (README.md:77-82): mostly PC,
+      // with EZ and PF slices so every scope's build path is exercised
+      val form = if (i % 5 == 4) "990PF" else if (i % 3 == 0) "990EZ" else "990"
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$corpusDir/${ein}_public.xml"),
-        EngineBench.synthDoc(ein, post2013 = i % 2 == 0, ez = i % 3 == 0,
+        EngineBench.synthDoc(ein, post2013 = i % 2 == 0, form = form,
           gross = 1000L + (i * 37L) % 900000L, members = 1 + i % 4, seed = i))
     }
 
@@ -60,11 +67,17 @@ object FullBuild {
     val childConcordance = partvii ++ schedj
 
     val t0 = System.nanoTime()
-    // schema covers exactly what this build extracts: the F9 slice of
-    // the master (not the PF/schedule paths we don't project) + the
-    // child-table crosswalks + header/core paths
+    // schema covers the FULL master: every F9-PART variable (PC+EZ+PF
+    // scopes share the FORM-PART keys) plus the 131 non-F9 attachment
+    // schedule tables (AFS etc.), plus child crosswalks + header/core
     val f9 = master.filter(_.rdbTable.startsWith("F9-PART-"))
-    val schema = SchemaBuild.sparseSchema(f9 ++ childConcordance,
+    // non-F9 master rows: PF-style attachment schedules, repeating by
+    // nature (the master V0 carries no cardinality column)
+    val pfOne =
+      if (scope == "f9") Nil
+      else master.filterNot(_.rdbTable.startsWith("F9-PART-"))
+    val pfMany = pfOne.map(_.copy(cardinality = "MANY"))
+    val schema = SchemaBuild.sparseSchema(f9 ++ pfMany ++ childConcordance,
       SchemaBuild.headerPaths ++ Core.declaredPaths)
     // flat mode consumes the parse exactly once (the staging pass), so
     // it neither caches the nested rows nor runs a timing pre-pass
@@ -98,44 +111,55 @@ object FullBuild {
         val s = System.nanoTime(); f
         println(f"[full-build]   $label: ${(System.nanoTime() - s) / 1e9}%.1fs")
       }
-      val partCols = parts.map(p =>
-        p -> TableBuild.varColumns(parsed, f9, _ == p)).toMap
+      // PF attachment schedules: resolve each non-F9 table's repeating
+      // group; tables without one (scalar slices under the form root)
+      // fall back to 1:1 wide tables
+      val pfTables = pfOne.map(_.rdbTable).distinct.sorted
+      val pfGroupsByTable: Map[String, Seq[TableBuild.EraGroup]] =
+        pfTables.map(t => t -> TableBuild.eraGroups(parsed, pfMany, t)).toMap
+      val (pfManyTables, pfOneTables) = pfTables.partition(t => pfGroupsByTable(t).nonEmpty)
+
+      // 1:1 tables: the 18 F9 parts + scalar PF slices
+      val oneTables: Seq[(String, Seq[ConcordanceEntry])] =
+        parts.map(p => p -> f9) ++ pfOneTables.map(t => t -> pfOne)
+      val partCols = oneTables.map { case (p, entries) =>
+        p -> TableBuild.varColumns(parsed, entries, _ == p)
+      }.toMap
+      // 1:M tables: the crosswalk child tables + grouped PF schedules
+      val manyTables: Seq[(String, Seq[ConcordanceEntry])] =
+        childTables.map(t => t -> childConcordance) ++ pfManyTables.map(t => t -> pfMany)
       // layout A ("flat"): one cached column per variable — cheapest
       // per-part reads, priciest cache build (2,500 column builders).
       // layout B ("struct"): one struct blob per part — cheap cache
       // build, per-part reads decode one blob.
       val stageCols =
         if (mode == "flat")
-          parts.flatMap(p => partCols(p).map { case (v, c) => c.as(s"${p}__$v") })
+          oneTables.flatMap { case (p, _) =>
+            partCols(p).map { case (v, c) => c.as(s"${p}__$v") } }
         else
-          parts.filter(p => partCols(p).nonEmpty).map(p =>
+          oneTables.collect { case (p, _) if partCols(p).nonEmpty =>
             org.apache.spark.sql.functions.struct(
-              partCols(p).map { case (v, c) => c.as(v) }: _*).as(s"T_$p"))
+              partCols(p).map { case (v, c) => c.as(v) }: _*).as(s"T_$p") }
       def partOutCols(p: String): Seq[org.apache.spark.sql.Column] =
         if (mode == "flat") partCols(p).map { case (v, _) => col(s"${p}__$v").as(v) }
         else partCols(p).map { case (v, _) => col(s"T_$p").getField(v).as(v) }
-      val childGroups: Seq[(String, String, TableBuild.EraGroup)] =
-        childTables.flatMap(t =>
-          TableBuild.eraGroups(parsed, childConcordance, t).zipWithIndex.map {
-            case (g, i) => (t, s"G_${t}__$i", g)
-          })
+      // each 1:M table staged as ONE canonical-normalized array
+      val manyArrays: Seq[(String, Seq[String], org.apache.spark.sql.Column)] =
+        manyTables.flatMap { case (t, entries) =>
+          TableBuild.normalizedGroupArray(parsed, entries, t)
+            .map(a => (t, TableBuild.canonicalVars(entries, t), a))
+        }
       val stagedSel = parsed
         .select(TableBuild.headerCols(parsed) ++ stageCols ++
-          childGroups.map { case (_, n, g) => g.arr.as(n) }: _*)
+          manyArrays.map { case (t, _, a) => a.as(s"G_$t") }: _*)
       if (sys.env.contains("GRAFT_PROBE")) {
-        // same-session A/B: cache materialize with vs without WSC
+        // cost split: parse floor vs parse+extract (no cache write)
+        lap("probe-parse-only")(parsed.count())
+        lap("probe-noop-extract")(
+          stagedSel.write.format("noop").mode("overwrite").save())
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        val c1 = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
-        lap("probe-cache-nowsc")(c1.count())
-        c1.unpersist(blocking = true)
-        spark.conf.set("spark.sql.codegen.wholeStage", "true")
-        val c2 = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
-        lap("probe-cache-wsc")(c2.count())
-        c2.unpersist(blocking = true)
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        val c3 = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
-        lap("probe-cache-nowsc-2")(c3.count())
-        c3.unpersist(blocking = true)
+        lap("probe-noop-extract-nowsc")(
+          stagedSel.write.format("noop").mode("overwrite").save())
         spark.conf.set("spark.sql.codegen.wholeStage", "true")
       }
       val staged = stagedSel.persist(StorageLevel.MEMORY_AND_DISK)
@@ -155,21 +179,39 @@ object FullBuild {
         }))
         tasks.foreach(_.join())
       }
-      lap("part-writes")(inParallel(parts) { p =>
+      lap("part-writes")(inParallel(oneTables.map(_._1)) { p =>
         val out = staged.select(TableBuild.headerNames.map(col) ++ partOutCols(p): _*)
         Emit.writeTable(out.coalesce(4), s"$work/out", p)
       })
-      lap("child-tables")(inParallel(childTables) { t =>
-        val eraDfs = childGroups.collect { case (`t`, n, g) =>
-          TableBuild.explodeGroup(staged, g, col(n), TableBuild.headerNames.map(col))
-        }
-        val child = TableBuild.assembleChild(eraDfs,
-          TableBuild.canonicalVars(childConcordance, t),
-          staged.limit(0).select(TableBuild.headerNames.map(col): _*))
-        Emit.writeTable(child.coalesce(4), s"$work/out", t)
+      // ONE pass over the cache finds which 1:M tables have any rows;
+      // empty ones get schema-only writes with no cache scan at all
+      import org.apache.spark.sql.functions.{coalesce => cl, lit, max, size}
+      val sizesRow = staged.select(manyArrays.map { case (t, _, _) =>
+        max(cl(size(col(s"G_$t")), lit(0))).as(t) }: _*).collect()(0)
+      val hasRows = manyArrays.map { case (t, _, _) =>
+        t -> (sizesRow.getAs[Int](t) > 0) }.toMap
+      def emptyChild(canonical: Seq[String]) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            (TableBuild.headerNames ++ canonical).map(n =>
+              org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+      lap("child-tables")(inParallel(manyArrays) { case (t, canonical, _) =>
+        val child =
+          if (hasRows(t)) TableBuild.childFromNormalized(staged, col(s"G_$t"), canonical).coalesce(4)
+          else emptyChild(canonical)
+        Emit.writeTable(child, s"$work/out", t)
       })
+      // 1:M tables whose group is unresolvable in this corpus schema:
+      // fixed-schema empty tables (parity with assembleChild's Nil case)
+      val resolved = manyArrays.map(_._1).toSet
+      inParallel(manyTables.filterNot(mt => resolved(mt._1))) { case (t, entries) =>
+        Emit.writeTable(emptyChild(TableBuild.canonicalVars(entries, t)), s"$work/out", t)
+      }
       pool.shutdown()
       staged.unpersist()
+      println(s"[full-build] pf tables: ${pfManyTables.length} grouped (1:M) + " +
+        s"${pfOneTables.length} scalar (1:1)")
     } else if (mode == "staged") {
       // ONE extraction pass: header + one struct per part. Each struct's
       // expression tree is bounded (~135 fields), so codegen stays
@@ -221,7 +263,7 @@ object FullBuild {
       (p, df.count(), df.columns.length)
     }
     val totalCols = partStats.map(_._3 - TableBuild.headerNames.length).sum
-    val childRows = childTables.map { t =>
+    val childRows = (childTables ++ Seq("AFS-PART-01")).map { t =>
       // a table whose group is absent from this corpus writes no files
       t -> scala.util.Try(spark.read.parquet(s"$work/out/$t").count()).getOrElse(0L)
     }.toMap

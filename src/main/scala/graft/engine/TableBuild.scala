@@ -90,26 +90,31 @@ object TableBuild {
     Concordance.groupPaths(entries, table).flatMap { prefix0 =>
       val prefix = sinkToRepeated(df, tableEntries, prefix0)
       val groupXpath = "/Return/" + prefix.mkString("/")
-      Extract.resolveRaw(df, groupXpath).map { case (dt, groupCol) =>
-        val (itemType, arrCol) = dt match {
-          case ArrayType(st: StructType, _) => (st, groupCol)
+      Extract.resolveRaw(df, groupXpath).flatMap { case (dt, groupCol) =>
+        val resolved: Option[(StructType, Column)] = dt match {
+          case ArrayType(st: StructType, _) => Some((st, groupCol))
           case st: StructType =>
             // single occurrence inferred as struct; guard the wrap so a
             // doc WITHOUT the group explodes to zero rows, not one
             // all-null row (R8 length-0→NA in the 1:M path)
-            (st, when(groupCol.isNotNull, array(groupCol)))
-          case other => throw new IllegalArgumentException(
-            s"group $groupXpath resolved to non-struct $other")
+            Some((st, when(groupCol.isNotNull, array(groupCol))))
+          // divergence prefix landed on a scalar leaf (flat schedules
+          // whose fields repeat directly under the schedule root, e.g.
+          // MortgagesAndNotesPayableSch/MortgageAmt): not a group —
+          // caller falls back to a 1:1 table
+          case _ => None
         }
-        // relative paths for this era: strip the group prefix
-        val relByVar = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
-        tableEntries.foreach { e =>
-          val segs = e.segments
-          if (segs.startsWith(prefix) && segs.length > prefix.length)
-            relByVar(e.variable) =
-              relByVar.getOrElse(e.variable, Vector.empty) :+ segs.drop(prefix.length).mkString("/")
+        resolved.map { case (itemType, arrCol) =>
+          // relative paths for this era: strip the group prefix
+          val relByVar = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+          tableEntries.foreach { e =>
+            val segs = e.segments
+            if (segs.startsWith(prefix) && segs.length > prefix.length)
+              relByVar(e.variable) =
+                relByVar.getOrElse(e.variable, Vector.empty) :+ segs.drop(prefix.length).mkString("/")
+          }
+          EraGroup(prefix, itemType, arrCol, relByVar.toSeq)
         }
-        EraGroup(prefix, itemType, arrCol, relByVar.toSeq)
       }
     }
   }
@@ -145,6 +150,38 @@ object TableBuild {
   def canonicalVars(entries: Seq[ConcordanceEntry], table: String): Seq[String] =
     entries.filter(e => e.rdbTable == table && e.cardinality == "MANY")
       .map(_.variable).distinct
+
+  /** ONE canonical-normalized array column for a 1:M table: each era
+    * variant's group array `transform`ed to a struct of the canonical
+    * variables, variants concatenated (per document at most one era is
+    * non-null). Staging this single column turns a child-table build
+    * into one explode over one pruned cache column, instead of one
+    * scan + union per era variant.
+    */
+  def normalizedGroupArray(df: DataFrame, entries: Seq[ConcordanceEntry],
+                           table: String): Option[Column] = {
+    val canonical = canonicalVars(entries, table)
+    val gs = eraGroups(df, entries, table)
+    if (gs.isEmpty) None
+    else {
+      val variants = gs.map { g =>
+        val relMap = g.relByVar.toMap
+        transform(g.arr, item => struct(canonical.map { v =>
+          relMap.get(v)
+            .map(rels => Extract.relative(g.itemType, item, rels))
+            .getOrElse(lit(null).cast("string")).as(v)
+        }: _*))
+      }
+      Some(
+        if (variants.size == 1) variants.head
+        else flatten(filter(array(variants: _*), a => a.isNotNull)))
+    }
+  }
+
+  /** Child table from a staged normalized array column. */
+  def childFromNormalized(staged: DataFrame, arrCol: Column, canonical: Seq[String]): DataFrame =
+    staged.select(headerNames.map(col) :+ explode(arrCol).as("item"): _*)
+      .select(headerNames.map(col) ++ canonical.map(v => col("item").getField(v).as(v)): _*)
 
   def oneToMany(df: DataFrame, entries: Seq[ConcordanceEntry], table: String): DataFrame = {
     val eraDfs = eraGroups(df, entries, table).map(g =>

@@ -201,6 +201,31 @@ class EngineSpec extends SparkSpec {
     assert(got == "201403169349300505")
   }
 
+  test("staged normalizedGroupArray path matches oneToMany on era-divergent tables") {
+    // the FullBuild staging path (ONE canonical array per 1:M table,
+    // exploded off the cache) must be row-identical to the reference
+    // path (per-era explode + unionByName)
+    import org.apache.spark.sql.functions.col
+    def e(v: String, x: String, t: String) = ConcordanceEntry(v, x, "text", "MANY", t, "PZ", Nil, None)
+    val conc = Seq(
+      e("DISPASSETDESCRIP", "/Return/ReturnData/IRS990ScheduleN/DispositionOfAssetsDetail/AssetsDistriOrExpnssPaidDesc", "SCHED-N-02"),
+      e("DISPASSETDESCRIP", "/Return/ReturnData/IRS990ScheduleN/DispositionTable/DescriptionOfAsset", "SCHED-N-02"),
+      e("DISPASSETFMV", "/Return/ReturnData/IRS990ScheduleN/DispositionOfAssetsDetail/FairMarketValueOfAssetAmt", "SCHED-N-02"),
+      e("DISPASSETFMV", "/Return/ReturnData/IRS990ScheduleN/DispositionTable/FairMarketValue", "SCHED-N-02"),
+      e("ACCOFEESCATE", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/Category", "AFS-01"),
+      e("ACCOFEESAMOU", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/Amount", "AFS-01"))
+    for (t <- Seq("SCHED-N-02", "AFS-01")) {
+      val canonical = TableBuild.canonicalVars(conc, t)
+      val arr = TableBuild.normalizedGroupArray(parsed, conc, t)
+      assert(arr.isDefined, s"$t group should resolve")
+      val staged = parsed.select(TableBuild.headerCols(parsed) :+ arr.get.as("G"): _*)
+      val viaStaged = TableBuild.childFromNormalized(staged, col("G"), canonical)
+      val viaUnion = TableBuild.oneToMany(parsed, conc, t)
+      assert(viaStaged.columns.toSeq == viaUnion.columns.toSeq)
+      assert(viaStaged.collect().map(_.toSeq).toSet == viaUnion.collect().map(_.toSeq).toSet)
+    }
+  }
+
   test("index read: dedup + TaxYear derivation (S1/P3/R7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toFile
     val f = new java.io.File(dir, "index_2014.json")
