@@ -119,12 +119,14 @@ object TextQueries {
     },
 
     // ---- n-gram (token-set) Jaccard near-dup ----------------------------
-    // Adaptive exact similarity join (operators.JaccardJoin): bitmap
-    // popcount comparison when the vocabulary is small (every token
-    // hot → inverted index degenerates), inverted-index token join
-    // when it is large (the 100 TB corpus shape). Same result set and
-    // bit-identical jaccard under both plans; oracle is the pairwise
-    // formulation.
+    // Adaptive exact similarity join (operators.JaccardJoin): on a
+    // large vocabulary (the 100 TB corpus shape) candidates come from
+    // rare-token prefix filtering (AllPairs/PPJoin), so the candidate
+    // space is collision-bounded even though the semantic block key
+    // (lang) has ~5 values; on a tiny vocabulary — where no rare
+    // prefix exists and the true pair set is dense — bitmap popcount
+    // within blocks. Same result set and bit-identical jaccard under
+    // both plans; oracle is the pairwise formulation.
     QueryDef.sql(
       "d2_jaccard_blocked",
       """WITH t AS (

@@ -27,6 +27,34 @@ class JaccardJoinSpec extends SparkSpec {
     assert(got == run(limit = 4096))
   }
 
+  test("single-block corpus: prefix-filtered candidates still find every pair") {
+    // the scale scenario VERDICT flagged: block key with ONE value —
+    // candidate generation must come from rare-token prefixes, and the
+    // result must still match a brute-force all-pairs computation
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 60).map { i =>
+      val base = (0 until 12).map(j => s"w${(i / 6) * 12 + j}")  // 10 families
+      val mutated =
+        if (i % 6 == 0) base
+        else base.updated(rnd.nextInt(12), s"u${i}_${rnd.nextInt(1000)}")
+      (i.toLong, "en", rnd.shuffle(mutated).mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "lang", "text")
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (a.split(" ").toSet, b.split(" ").toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+    }
+    val expect = (for {
+      (ia, _, ta) <- corpus; (ib, _, tb) <- corpus
+      if ia < ib && jac(ta, tb) >= 0.5
+    } yield (ia, ib, jac(ta, tb))).toSet
+    for (limit <- Seq(4096, 3)) { // bitmap verify and array verify
+      val got = JaccardJoin.pairs(docs, "doc_id", "lang", "text", 0.5, vocabLimit = limit)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == expect, s"vocabLimit=$limit")
+    }
+  }
+
   test("multi-word bitmap: vocab spanning >64 tokens still exact") {
     val wide = (0 until 3).map { i =>
       // 70-token docs over a 140-token vocabulary; doc 0 and 2 identical
