@@ -14,6 +14,12 @@ import org.apache.spark.sql.expressions.Window
   * row — this is the shape that survives skewed keys and 100 TB inputs
   * (vs. the naive time-range join, which explodes).
   *
+  * The payload travels as ONE struct column, so every output field
+  * comes from the SAME matched right row and a legitimately-NULL
+  * payload field stays NULL (per-column `last(_, ignoreNulls)` would
+  * skip it and leak an older row's value — SQL ASOF returns the
+  * matched row as-is).
+  *
   * Tie rule: a right row at exactly t matches a left row at t (right
   * sorts first via the src tag) — same as SQL `ASOF ... ON l.t >= r.t`.
   * Right side must be unique per (key, time) for determinism; callers
@@ -30,18 +36,22 @@ object AsofJoin {
     require(!payload.exists(leftCols.contains), "payload names must not collide with left columns")
 
     val r = right.select(
-      col(rightKey).as(leftKey) +:
-        col(rightTime).as(leftTime) +:
-        payload.map(col) :+
-        lit(0).as("__src"): _*)
+      col(rightKey).as(leftKey),
+      col(rightTime).as(leftTime),
+      struct(payload.map(col): _*).as("__p"),
+      lit(0).as("__src"))
+    // left rows carry no payload struct → NULL after unionByName, so
+    // ignoreNulls skips them; a right row with all-NULL payload FIELDS
+    // is still a non-null struct and is carried as the match
     val l = left.withColumn("__src", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(col(leftKey))
       .orderBy(col(leftTime), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
-    filled.filter(col("__src") === 1).drop("__src")
+    unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

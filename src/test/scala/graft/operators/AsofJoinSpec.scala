@@ -17,4 +17,16 @@ class AsofJoinSpec extends SparkSpec {
     assert(got("e2").contains("r@15")) // most recent wins
     assert(got("e3").isEmpty)          // key with no right rows
   }
+
+  test("matched right row's NULL payload field stays NULL; fields never mix rows") {
+    val left = Seq((1L, 30L, "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 10L, Some("old-a"), Some("old-b")),
+      (1L, 20L, None, Some("new-b"))) // the match: a is legitimately NULL
+      .toDF("rk", "rt", "a", "b")
+    val got = AsofJoin.asofLeft(left, right, "k", "t", "rk", "rt", Seq("a", "b"))
+      .select("a", "b").as[(Option[String], Option[String])].head()
+    // SQL ASOF semantics: the matched row as-is — NOT (old-a, new-b)
+    assert(got == (None, Some("new-b")))
+  }
 }
