@@ -46,8 +46,11 @@ object Concordance {
         first("xpath", "XPATH").as("x"),
         first("data_type_simple", "DATA_TYPE").as("t"),
         first("cardinality", "CARDINALITY").as("c"),
+        // fallback table key FORM-PART covers both the V0 master (no
+        // DATABASE_TABLE) and slice rows with a blank rdb_table cell
+        // (e.g. PartVII's TotalPartVII row)
         coalesce(first("rdb_table", "DATABASE_TABLE"),
-          concat_ws("-", first("FORM"), first("PART"))).as("r"),
+          concat_ws("-", first("FORM", "form"), first("PART", "part"))).as("r"),
         first("scope", "SCOPE").as("s"),
         first("versions", "XSD_VERSIONS").as("ver"),
         first("production_rule", "PRODUCTION_RULE").as("p"))

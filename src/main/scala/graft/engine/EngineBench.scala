@@ -101,9 +101,15 @@ object EngineBench {
     }
     val body =
       if (form == "990PF") {
+        // AFS era break (master): pre-2013 AccountingFees/Category|Amount,
+        // 2013+ AccountingFeesDetail/CategoryTxt|Amt
         val fees = (0 until 1 + seed % 3).map { k =>
-          s"""<AccountingFees><Category>CAT$k</Category><Amount>${500L * (k + 1)}</Amount>
-             |<AdjustedNetIncome>${100L * k}</AdjustedNetIncome></AccountingFees>""".stripMargin
+          if (post2013)
+            s"""<AccountingFeesDetail><CategoryTxt>CAT$k</CategoryTxt><Amt>${500L * (k + 1)}</Amt>
+               |<AdjustedNetIncomeAmt>${100L * k}</AdjustedNetIncomeAmt></AccountingFeesDetail>""".stripMargin
+          else
+            s"""<AccountingFees><Category>CAT$k</Category><Amount>${500L * (k + 1)}</Amount>
+               |<AdjustedNetIncome>${100L * k}</AdjustedNetIncome></AccountingFees>""".stripMargin
         }.mkString("\n")
         s"""<IRS990PF><AddressChangeInd>X</AddressChangeInd>
            |<AnalysisIncomeProducingActy><DividendsAndIntFromSecPartVII>

@@ -119,9 +119,16 @@ object FullBuild {
         pfTables.map(t => t -> TableBuild.eraGroups(parsed, pfMany, t)).toMap
       val (pfManyTables, pfOneTables) = pfTables.partition(t => pfGroupsByTable(t).nonEmpty)
 
-      // 1:1 tables: the 18 F9 parts + scalar PF slices
+      // crosswalk-declared 1:1 tables: PART VII table 00 compensation
+      // overview + Sched J checklist / explanation text (reference
+      // emits them alongside the 1:M tables, R:4400-4409, 4899-4910)
+      val childOneTables = childConcordance
+        .filter(e => e.cardinality == "ONE" && e.rdbTable.nonEmpty)
+        .map(_.rdbTable).distinct.sorted
+      // 1:1 tables: the 18 F9 parts + scalar PF slices + crosswalk 00s
       val oneTables: Seq[(String, Seq[ConcordanceEntry])] =
-        parts.map(p => p -> f9) ++ pfOneTables.map(t => t -> pfOne)
+        parts.map(p => p -> f9) ++ pfOneTables.map(t => t -> pfOne) ++
+          childOneTables.map(t => t -> childConcordance)
       val partCols = oneTables.map { case (p, entries) =>
         p -> TableBuild.varColumns(parsed, entries, _ == p)
       }.toMap
@@ -263,7 +270,9 @@ object FullBuild {
       (p, df.count(), df.columns.length)
     }
     val totalCols = partStats.map(_._3 - TableBuild.headerNames.length).sum
-    val childRows = (childTables ++ Seq("AFS-PART-01")).map { t =>
+    val childOne = childConcordance.filter(_.cardinality == "ONE")
+      .map(_.rdbTable).distinct.sorted
+    val childRows = (childTables ++ childOne ++ Seq("AFS-PART-01")).map { t =>
       // a table whose group is absent from this corpus writes no files
       t -> scala.util.Try(spark.read.parquet(s"$work/out/$t").count()).getOrElse(0L)
     }.toMap

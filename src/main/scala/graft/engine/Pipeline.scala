@@ -18,7 +18,14 @@ import org.apache.spark.storage.StorageLevel
 object Pipeline {
 
   final case class Outputs(core: DataFrame, typedCore: DataFrame,
-                           children: Map[String, DataFrame], failed: DataFrame)
+                           children: Map[String, DataFrame],
+                           tableOnes: Map[String, DataFrame],
+                           presence: DataFrame, failed: DataFrame)
+
+  /** The schedule letters the reference flags in its core
+    * (SCHEDA…SCHEDO, SCHEDR — R:2522-2620).
+    */
+  val presenceSchedules: Seq[String] = (('A' to 'O').map(_.toString) :+ "R")
 
   def build(spark: SparkSession, corpusPath: String,
             concordance: Seq[ConcordanceEntry],
@@ -30,18 +37,32 @@ object Pipeline {
     val schema =
       if (inferSchema) None
       else Some(SchemaBuild.sparseSchema(concordance,
-        SchemaBuild.headerPaths ++ Core.declaredPaths))
+        SchemaBuild.headerPaths ++ Core.declaredPaths ++
+          presenceSchedules.map(s => s"/Return/ReturnData/IRS990Schedule$s")))
     val parsed = Ingest.readReturns(spark, corpusPath, schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val core = Core.build(parsed)
     val childTables = concordance.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
     val children = childTables.map(t => t -> TableBuild.oneToMany(parsed, concordance, t)).toMap
-    Outputs(core, Core.typedView(core), children, Ingest.failed(parsed))
+    // crosswalk-declared 1:1 tables (e.g. PART VII table 00, Sched J
+    // checklist) — distinct from the hand-curated core
+    val oneTables = concordance
+      .filter(e => e.cardinality == "ONE" && e.rdbTable.nonEmpty)
+      .map(_.rdbTable).distinct
+    val tableOnes = oneTables.map(t => t -> TableBuild.oneToOne(parsed, concordance, t)).toMap
+    Outputs(core, Core.typedView(core), children, tableOnes,
+      TableBuild.schedulePresence(parsed, presenceSchedules), Ingest.failed(parsed))
   }
 
   def writeAll(out: Outputs, outDir: String): Unit = {
     Emit.writeTable(out.core, outDir, "core")
     out.children.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
+    out.tableOnes.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
+    Emit.writeTable(out.presence, outDir, "schedule_presence")
+    // FAIL_LIST analogue (R:4966-5101): quarantined documents with
+    // their raw payloads, written even when empty so downstream
+    // retry tooling always finds the table
+    out.failed.write.mode("overwrite").parquet(s"$outDir/failed")
   }
 }
 

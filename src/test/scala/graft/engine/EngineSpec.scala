@@ -3,9 +3,10 @@ package graft.engine
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 
-/** End-to-end engine tests over the four canonical fixture shapes
-  * (2012/2014 × 990/990EZ — the 2013 schema break,
-  * BUILD_SCRIPTS/README.md:39) plus a Schedule N repeating group.
+/** End-to-end engine tests over the seven canonical fixture shapes
+  * (2012/2014 × 990/990EZ/990PF spanning the 2013 schema break, plus a
+  * 2013 middle-era doc — BUILD_SCRIPTS/README.md:39-50) with Schedule
+  * N/J repeating groups on both sides of the break.
   */
 class EngineSpec extends SparkSpec {
   import spark.implicits._
@@ -23,13 +24,14 @@ class EngineSpec extends SparkSpec {
     }.toMap
   }
 
-  test("parses all six fixture documents with no corrupt records") {
-    assert(parsed.count() == 6)
+  test("parses all seven fixture documents with no corrupt records") {
+    assert(parsed.count() == 7)
     assert(Ingest.failed(parsed).count() == 0)
   }
 
   test("header extraction: EIN, era-coalesced NAME, FORMTYPE, OBJECT_ID") {
-    assert(core.keySet == Set("100000001", "100000002", "100000003", "100000004", "100000005", "100000006"))
+    assert(core.keySet == Set("100000001", "100000002", "100000003",
+      "100000004", "100000005", "100000006", "100000007"))
     assert(core("100000001")("NAME") == "ALPHA ARTS FOUNDATION")  // post-2013 spelling
     assert(core("100000002")("NAME") == "BETA HEALTH TRUST")      // pre-2013 spelling
     assert(core("100000001")("FORMTYPE") == "990")
@@ -161,18 +163,51 @@ class EngineSpec extends SparkSpec {
     assert(core("100000005")("GROSSRECEIPTS") == "0") // zeroALL default
   }
 
-  test("PF 1:M table: AccountingFeesSchedule repeating group (leaf divergence)") {
+  test("PF 1:M table: AccountingFeesSchedule across the 2013 break") {
+    // real era divergence (MASTER_CONCORDANCE_V0): pre-2013 repeats
+    // AccountingFees/Category|Amount, 2013+ AccountingFeesDetail/
+    // CategoryTxt|Amt — distinct groups AND distinct leaves
     def e(v: String, x: String) = ConcordanceEntry(v, x, "text", "MANY", "AFS-01", "PF", Nil, None)
     val conc = Seq(
       e("ACCOFEESCATE", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/Category"),
+      e("ACCOFEESCATE", "/Return/ReturnData/AccountingFeesSchedule/AccountingFeesDetail/CategoryTxt"),
       e("ACCOFEESAMOU", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/Amount"),
-      e("ACFEADNEINNC", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/AdjustedNetIncome"))
+      e("ACCOFEESAMOU", "/Return/ReturnData/AccountingFeesSchedule/AccountingFeesDetail/Amt"),
+      e("ACFEADNEINNC", "/Return/ReturnData/AccountingFeesSchedule/AccountingFees/AdjustedNetIncome"),
+      e("ACFEADNEINNC", "/Return/ReturnData/AccountingFeesSchedule/AccountingFeesDetail/AdjustedNetIncomeAmt"))
     val t = TableBuild.oneToMany(parsed, conc, "AFS-01")
     val rows = t.collect().map(r =>
       (r.getAs[String]("EIN"), r.getAs[String]("ACCOFEESCATE"), r.getAs[String]("ACCOFEESAMOU")))
     assert(rows.toSet == Set(
-      ("100000005", "AUDIT", "7500"),
-      ("100000005", "TAX PREP", "2500")))
+      ("100000005", "AUDIT", "7500"),        // post-2013 PF doc
+      ("100000005", "TAX PREP", "2500"),
+      ("100000007", "BOOKKEEPING", "1200"))) // pre-2013 PF doc
+  }
+
+  test("Sched N table 03: supplemental info across both era groups (R:4010-4133)") {
+    // reference roots //Form990ScheduleNPartIII|//SupplementalInformationDetail;
+    // each era's leaves are SEPARATE reference variables (no coalesce)
+    def e(v: String, x: String) = ConcordanceEntry(v, x, "text", "MANY", "SCHED-N-03", "PZ", Nil, None)
+    val conc = Seq(
+      e("SECNSUPPLEMENTALINFO", "/Return/ReturnData/IRS990ScheduleN/Form990ScheduleNPartIII/Explanation"),
+      e("SECNIDENTIFIER", "/Return/ReturnData/IRS990ScheduleN/Form990ScheduleNPartIII/Identifier"),
+      e("SECNRETURNREF", "/Return/ReturnData/IRS990ScheduleN/Form990ScheduleNPartIII/ReturnReference"),
+      e("SECNLINEREFEXPLAIN", "/Return/ReturnData/IRS990ScheduleN/SupplementalInformationDetail/ExplanationTxt"),
+      e("SECNLINEREF", "/Return/ReturnData/IRS990ScheduleN/SupplementalInformationDetail/FormAndLineReferenceDesc"))
+    val t = TableBuild.oneToMany(parsed, conc, "SCHED-N-03")
+    val rows = t.collect().map(r => (r.getAs[String]("EIN"),
+      r.getAs[String]("SECNLINEREF"), r.getAs[String]("SECNLINEREFEXPLAIN"),
+      r.getAs[String]("SECNIDENTIFIER"), r.getAs[String]("SECNSUPPLEMENTALINFO"))).toSet
+    assert(rows == Set(
+      ("100000001", "PART I LINE 2", "OFFICERS JOINED SUCCESSOR ORG", null, null),
+      ("100000001", "PART II LINE 1", "REMAINING ASSETS TRANSFERRED", null, null),
+      ("100000004", null, null, "SUPP-1", "WOUND DOWN AND GAVE EQUIPMENT TO PARTNER PANTRY")))
+  }
+
+  test("pre-2013 990PF doc: headers + era spellings") {
+    assert(core("100000007")("NAME") == "ETA LEGACY TRUST")
+    assert(core("100000007")("FORMTYPE") == "990PF")
+    assert(core("100000007")("TAXYR") == "2012")
   }
 
   test("Sched N table 02: dispositions across both era groups AND era leaf names") {

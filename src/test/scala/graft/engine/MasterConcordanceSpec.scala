@@ -53,11 +53,16 @@ class MasterConcordanceSpec extends SparkSpec {
     val table = afs.head.rdbTable
     val parsed = Ingest.readReturns(spark, getClass.getResource("/xml").getPath)
     val t = TableBuild.oneToOne(parsed, master, table)
-    val catVar = master.find(e => e.rdbTable == table &&
+    // era-split variables: pre-2013 AccountingFees/Category vs 2013+
+    // AccountingFeesDetail/CategoryTxt — each fixture era feeds its own
+    val preVar = master.find(e => e.rdbTable == table &&
       e.xpath.endsWith("AccountingFees/Category")).get.variable
-    val row = t.filter(org.apache.spark.sql.functions.col("EIN") === "100000005").head()
+    val postVar = master.find(e => e.rdbTable == table &&
+      e.xpath.endsWith("AccountingFeesDetail/CategoryTxt")).get.variable
+    val byEin = t.collect().map(r => r.getAs[String]("EIN") -> r).toMap
     // declared-ONE policy over a repeated group: first occurrence
-    assert(row.getAs[String](catVar) == "AUDIT")
+    assert(byEin("100000005").getAs[String](postVar) == "AUDIT")
+    assert(byEin("100000007").getAs[String](preVar) == "BOOKKEEPING")
   }
 
   test("era-variant xpaths of one master variable resolve by coalesce across fixtures") {
@@ -75,7 +80,7 @@ class MasterConcordanceSpec extends SparkSpec {
     val sec = (System.nanoTime() - t0) / 1e9
     info(f"width=${core.columns.length} plan+exec=${sec}%.1fs")
     assert(core.columns.length > 2000, s"got ${core.columns.length}")
-    assert(rows.length == 6)
+    assert(rows.length == 7)
     val grVar = master.find(_.xpath == "/Return/ReturnData/IRS990/GrossReceiptsAmt").get.variable
     val alpha = rows.find(_.getAs[String]("EIN") == "100000001").get
     assert(alpha.getAs[String](grVar) == "500000")
@@ -86,7 +91,7 @@ class MasterConcordanceSpec extends SparkSpec {
     val t = TableBuild.oneToOne(parsed, master, "F9-PART-00")
     val varCols = t.columns.filterNot(TableBuild.headerNames.contains)
     assert(varCols.length >= 90, s"part-00 width from master: ${varCols.length}")
-    assert(t.count() == 6)
+    assert(t.count() == 7)
     // spot value through the metadata path
     val grVar = master.find(_.xpath == "/Return/ReturnData/IRS990/GrossReceiptsAmt")
     grVar.foreach { e =>

@@ -96,6 +96,6 @@ class RealConcordanceSpec extends SparkSpec {
     // fixtures carry no Schedule J → all-variable columns exist, all null
     val varCols = t00.columns.filterNot(TableBuild.headerNames.contains)
     assert(varCols.length >= 20, s"expected the full checklist width, got ${varCols.length}")
-    assert(t00.count() == 6)
+    assert(t00.count() == 7)
   }
 }
