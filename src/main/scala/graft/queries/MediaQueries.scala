@@ -14,7 +14,18 @@ object MediaQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- decode pass (mapPartitions batch plumbing; stub codec) -------
-    QueryDef.rowsOnly("m1_media_decode") { (s, d) =>
+    // The stub codec reads the deterministic "W:w;H:h;F:f;" header the
+    // synthetic assets embed, so the decoded meta IS SQL-derivable —
+    // a real oracle checks the whole mapPartitions round trip.
+    QueryDef.sql(
+      "m1_media_decode",
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'video'
+        |       WHEN 1 THEN 'image' ELSE 'audio' END AS media_type,
+        |  CAST(doc_id % 64 + 16 AS INTEGER) AS decoded_width,
+        |  CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS decoded_height,
+        |  TRUE AS decode_ok
+        |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.withDecodedMeta(Multimodal.syntheticAssets(Tables.documents(s, d)))
         .select(col("asset_id"), col("media_type"),
           col("decoded_width"), col("decoded_height"), col("decode_ok"))
@@ -37,7 +48,18 @@ object MediaQueries {
     },
 
     // ---- video frame sampling (generator shape over binary) -----------
-    QueryDef.rowsOnly("m3_frame_sample") { (s, d) =>
+    // n_frames = doc_id % 10 + 1 and frames step by 2 from 0, so the
+    // flatMap generator twins a lateral generate_series
+    QueryDef.sql(
+      "m3_frame_sample",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 10 AS BIGINT), 2)) AS gs
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id AS asset_id, CAST(gs AS INTEGER) AS frame_idx,
+        |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+        |  CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height
+        |FROM g""".stripMargin) { (s, d) =>
       val assets = Multimodal.syntheticAssets(Tables.documents(s, d))
       Multimodal.sampleFrames(assets.filter(col("media_type") === "video"), everyN = 2)
     },

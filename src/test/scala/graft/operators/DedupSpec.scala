@@ -44,4 +44,41 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
+
+  test("MinHashLSH quantified: pairs are a subset of exact pairs, recall >= 0.8") {
+    // 15 families x 4 variants: within-family docs share most tokens
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60).map { i =>
+      val fam = i / 4
+      val base = (0 until 10).map(j => s"tok${fam}_$j word$j")
+      val doc =
+        if (i % 4 == 0) base
+        else base.updated(rnd.nextInt(10), s"alt${i}_${rnd.nextInt(100)} extra$i")
+      (i.toLong, doc.mkString(" "))
+    }
+    def shingles(t: String, w: Int = 3): Set[Seq[String]] = {
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      if (toks.length < w) Set(toks) else toks.sliding(w).toSet
+    }
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+    }
+    val threshold = 0.35
+    val exact = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus
+      if ia < ib && jac(ta, tb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(exact.size > 30, s"fixture should have many true pairs, got ${exact.size}")
+    // bands=16 (r=2): banding catch probability at j=0.35 is ~0.88 —
+    // the right operating point when the threshold sits low on the curve
+    val found = MinHashLSH.nearDuplicates(corpus.toDF("doc_id", "text"), "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3, jaccardThreshold = threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the verify join computes EXACT jaccard on candidates, so no false
+    // positives survive; banding may miss pairs → recall is the metric
+    assert(found.subsetOf(exact), s"false positives: ${found.diff(exact)}")
+    val recall = found.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below bound (found ${found.size}/${exact.size})")
+  }
 }

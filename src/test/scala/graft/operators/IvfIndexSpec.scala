@@ -31,4 +31,15 @@ class IvfIndexSpec extends SparkSpec {
     val byQuery = got.groupBy(_._1)
     assert(byQuery.values.forall(_.length == 3), "full top-3 per query")
   }
+
+  test("IVF quantified: recall@5 vs exact kNN >= 0.8 on clustered corpus") {
+    val emb = VectorFixtures.clustered.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 8L)
+    val exact = VectorFixtures.groupNeighbors(
+      VectorOps.knnBrute(queries, emb, k = 5))
+    val approx = VectorFixtures.groupNeighbors(
+      IvfIndex.search(queries, emb, k = 5, numCells = 8, nprobe = 2))
+    val recall = VectorFixtures.recall(exact, approx)
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
+  }
 }

@@ -48,4 +48,43 @@ class VectorOpsSpec extends SparkSpec {
   test("makePlanes is deterministic for a fixed seed") {
     assert(VectorOps.makePlanes(4, 8) == VectorOps.makePlanes(4, 8))
   }
+
+  test("annLsh quantified: recall@5 vs exact kNN >= 0.6 on clustered corpus") {
+    val emb = VectorFixtures.clustered.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 8L)
+    val exact = VectorFixtures.groupNeighbors(
+      VectorOps.knnBrute(queries, emb, k = 5))
+    val approx = VectorFixtures.groupNeighbors(
+      VectorOps.annLsh(queries, emb, k = 5))
+    val recall = VectorFixtures.recall(exact, approx)
+    assert(recall >= 0.6, s"annLsh recall@5 = $recall")
+  }
+}
+
+/** Shared deterministic clustered corpus + recall math for ANN specs. */
+object VectorFixtures {
+  /** 8 well-separated clusters x 16 members in 16-dim space. */
+  lazy val clustered: Seq[(Long, Seq[Float], String)] = {
+    val rnd = new scala.util.Random(5)
+    (0L until 128L).map { i =>
+      val c = (i % 8).toInt
+      val v = Seq.tabulate(16)(j =>
+        (if (j == c * 2) 8.0f else 0.0f) + rnd.nextFloat() * 0.5f)
+      (i, v, s"c$c")
+    }
+  }
+
+  def groupNeighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  /** Mean per-query |approx ∩ exact| / |exact| (queries the approx
+    * method returned nothing for count as zero recall).
+    */
+  def recall(exact: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, e) =>
+      approx.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    per.sum / per.size
+  }
 }
