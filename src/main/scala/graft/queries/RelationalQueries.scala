@@ -547,6 +547,38 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
     },
 
+    // ---- Range (point-in-interval) join: clicks inside error windows ------
+    // Spark plan: bucketized equi-join (operators.RangeJoin) — every
+    // interval explodes to its covered fixed-width buckets, points map
+    // to one bucket, one shuffle on (user_id, bucket) + exact filter.
+    // The naive theta join would plan as a nested loop. Oracle is the
+    // plain range-predicate join.
+    QueryDef.sql(
+      "ev4_range_join",
+      """WITH err AS (
+        |  SELECT user_id, event_id AS err_id, ts AS lo
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS click_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, e.err_id
+        |FROM clk c JOIN err e
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.lo AND c.ts < e.lo + INTERVAL 4 HOUR""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val windowUs = 4L * 3600 * 1000000
+      val err = ev.filter(col("event_type") === "error").select(
+        col("user_id"), col("event_id").as("err_id"),
+        unix_micros(col("ts")).as("lo_us"),
+        (unix_micros(col("ts")) + windowUs).as("hi_us"))
+      val clk = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("p_us"))
+      graft.operators.RangeJoin.pointInInterval(clk, err, Seq("user_id"),
+          "p_us", "lo_us", "hi_us", bucketWidth = windowUs)
+        .select(col("user_id"), col("click_id"), col("err_id"))
+    },
+
     // ---- Scalar function family (SURVEY §2.9) ------------------------------
     QueryDef.sql(
       "f1_string_funcs",
