@@ -370,6 +370,26 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"))
     },
 
+    // ---- Skew-salted equi-join (operators.SaltedJoin) ------------------
+    // The salted physical shape (left salted, right replicated x
+    // buckets, join on (key, salt)) must emit EXACTLY the plain join's
+    // rows — which is what the plain-SQL oracle asserts bit-for-bit.
+    QueryDef.sql(
+      "j4_salted_join",
+      """SELECT e.event_id, e.user_id, o.n_orders
+        |FROM events e
+        |JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey) o
+        |  ON e.user_id = o.o_custkey""".stripMargin) { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("user_id"), col("n_orders"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+      graft.operators.SaltedJoin.innerSalted(ev, dim, key = "user_id",
+          buckets = 8, leftSeed = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("n_orders"))
+    },
+
     // ---- U1: union with schema merge (bind_rows analogue) ---------------
     QueryDef.sql(
       "u1_union_by_name",

@@ -34,6 +34,29 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").as("hour_bucket"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `ev4_range_join` (operators.RangeJoin): clicks that fall inside a
+    * per-user window opened by each error event. Spark's stream-stream
+    * join needs BOTH watermarks plus the time-range condition so it can
+    * prove when buffered state expires: an error row is held at most
+    * `windowMinutes` + the watermark delay, then evicted — bounded
+    * state at any rate. The same plan runs on batch frames (watermark
+    * is a no-op there), which is how the spec twins it.
+    */
+  def errorWindowJoin(clicks: DataFrame, errors: DataFrame,
+                      windowMinutes: Int, watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("err_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    c.join(e,
+        col("user_id") === col("err_user") &&
+          col("ts") >= col("err_ts") &&
+          col("ts") < col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("err_id"))
+  }
+
   /** Open-session aggregate — the ONLY per-key state the streaming
     * sessionizer keeps. O(1) per user regardless of session length;
     * a hot key costs the same as a cold one (the 100 TB requirement —

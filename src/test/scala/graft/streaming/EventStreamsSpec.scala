@@ -40,6 +40,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(_._2 == "click"))
   }
 
+  test("stream-stream errorWindowJoin matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = Seq(
+      Event(10, ts(1), 1, "click", 0, "{}"),   // inside err@0 window
+      Event(11, ts(40), 1, "click", 0, "{}"),  // outside (30-min window)
+      Event(12, ts(1), 2, "click", 0, "{}"))   // other user: no error
+    val errors = Seq(Event(90, ts(0), 1, "error", 0, "{}"))
+
+    val cm = MemoryStream[Event]; val em = MemoryStream[Event]
+    val q = EventStreams.errorWindowJoin(cm.toDF(), em.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("ewj_out")
+      .outputMode(OutputMode.Append).start()
+    cm.addData(clicks: _*); em.addData(errors: _*)
+    q.processAllAvailable()
+    // push watermark past every window so all joinable state resolves
+    cm.addData(Event(99, ts(600), 7, "click", 0, "{}")) // distinct users so the
+    em.addData(Event(98, ts(600), 8, "error", 0, "{}")) // pushers don't self-join
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ewj_out")
+      .select("user_id", "click_id", "err_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventStreams.errorWindowJoin(clicks.toDF(), errors.toDF(), 30)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 10L, 90L)))
+    assert(streamed == batch)
+  }
+
   test("sessionizeBatch splits on the inactivity gap") {
     import spark.implicits._
     val events = Seq(
