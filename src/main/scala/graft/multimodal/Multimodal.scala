@@ -144,6 +144,18 @@ object Multimodal {
   def hashFeature(media: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(media, lit(i)), lit(1000L)).cast("double") / 1000.0
 
+  /** Oracle-able featurizer: one dim = the rolling fingerprint of the
+    * payload (as text) with the dim index appended, normalized to
+    * [0, 1). Slower than `hashFeature` (per-char fold vs one xxhash64)
+    * but expressible in any engine with list folds — used by the m4
+    * correctness query so the feature path is oracle-checked end to
+    * end; production pipelines use `hashFeatures`.
+    */
+  def fingerprintFeature(media: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.rollingFingerprint(
+      concat(media.cast("string"), lit(i.toString)))
+      .cast("double") / 1000000007.0
+
   /** Synthetic asset table from the documents corpus (deterministic):
     * lets the media pipeline run against driver-provided testdata.
     */

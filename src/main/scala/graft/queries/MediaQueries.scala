@@ -65,12 +65,32 @@ object MediaQueries {
     },
 
     // ---- codegen'd featurization of binary payloads -------------------
-    // Per-dim scalar columns (f0..f7) rather than one array<double>: the
-    // driver's rows-only checker sorts every output column, and ndarray
-    // cells are unsortable in pandas. Scalars are also friendlier to
-    // columnar stats/pruning at scale.
-    QueryDef.rowsOnly("m4_media_features") { (s, d) =>
-      val dimCols = (0 until 8).map(i => Multimodal.hashFeature(col("media"), i).as(s"f$i"))
+    // Per-dim scalar columns (f0..f7) rather than one array<double>
+    // (scalars sort/prune; ndarray cells don't). The registered query
+    // uses the fingerprint featurizer so every dim has a DuckDB twin
+    // (t4's fold) — the xxhash64 fast path stays spec-checked.
+    QueryDef.sql(
+      "m4_media_features", {
+        val fp = (expr: String) =>
+          s"""CAST(list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split_regex($expr, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS DOUBLE) / 1000000007.0""".stripMargin
+        val dims = (0 until 8).map(i => s"  ${fp(s"m || '$i'")} AS f$i").mkString(",\n")
+        s"""WITH a AS (
+           |  SELECT doc_id AS asset_id,
+           |    printf('W:%d;H:%d;F:%d;',
+           |      CAST(doc_id % 64 + 16 AS BIGINT),
+           |      CAST((doc_id * 7) % 64 + 16 AS BIGINT),
+           |      CAST(doc_id % 10 + 1 AS BIGINT)) || substring(text, 1, 128) AS m
+           |  FROM documents)
+           |SELECT asset_id,
+           |$dims
+           |FROM a""".stripMargin
+      }) { (s, d) =>
+      val dimCols = (0 until 8).map(i =>
+        Multimodal.fingerprintFeature(col("media"), i).as(s"f$i"))
       Multimodal.syntheticAssets(Tables.documents(s, d))
         .select(col("asset_id") +: dimCols: _*)
     }
