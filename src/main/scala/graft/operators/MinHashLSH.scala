@@ -54,17 +54,22 @@ object MinHashLSH {
     val sigs = signatures(docs, textCol, idCol, numHashes, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band rows: (id, band_id, band_hash)
+    // band rows: (id, shingle-set size, band_id, band_hash)
     val banded = sigs.select(
-      col("id"),
+      col("id"), size(col("hs")).as("n"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows))))).as(Seq("band_id", "band_hash")))
 
-    // candidate pairs from shared buckets
-    val left = banded.select(col("id").as("id_a"), col("band_id"), col("band_hash"))
-    val right = banded.select(col("id").as("id_b"), col("band_id"), col("band_hash"))
+    // candidate pairs from shared buckets; the symmetric length filter
+    // t·|A| ≤ |B| ≤ |A|/t is implied by Jaccard ≥ t, so it only prunes
+    // pairs the verify step would reject — before their shingle sets
+    // ever shuffle
+    val left = banded.select(col("id").as("id_a"), col("n").as("na"), col("band_id"), col("band_hash"))
+    val right = banded.select(col("id").as("id_b"), col("n").as("nb"), col("band_id"), col("band_hash"))
     val candidates = left.join(right, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b")
+        && col("nb") >= ceil(col("na") * lit(jaccardThreshold))
+        && col("na") >= ceil(col("nb") * lit(jaccardThreshold)))
       .select("id_a", "id_b").distinct()
 
     // exact-Jaccard verify on the hashed shingle sets (8-byte elements
