@@ -78,7 +78,7 @@ object FullBuild {
       else master.filterNot(_.rdbTable.startsWith("F9-PART-"))
     val pfMany = pfOne.map(_.copy(cardinality = "MANY"))
     val schema = SchemaBuild.sparseSchema(f9 ++ pfMany ++ childConcordance,
-      SchemaBuild.headerPaths ++ Core.declaredPaths)
+      SchemaBuild.headerPaths ++ Core.declaredPaths ++ Core238.declaredPaths)
     // flat mode consumes the parse exactly once (the staging pass), so
     // it neither caches the nested rows nor runs a timing pre-pass
     val parsed =
@@ -156,8 +156,13 @@ object FullBuild {
           TableBuild.normalizedGroupArray(parsed, entries, t)
             .map(a => (t, TableBuild.canonicalVars(entries, t), a))
         }
+      // the curated 238-column core rides the same staging pass as one
+      // more struct blob (its own header columns included)
+      val core238Struct = org.apache.spark.sql.functions.struct(
+        Core238.ruleColumns(Core238.rawColumns(parsed), TableBuild.formType(parsed))
+          .map { case (nm, c) => c.as(nm) }: _*).as("T_CORE238")
       val stagedSel = parsed
-        .select(TableBuild.headerCols(parsed) ++ stageCols ++
+        .select(TableBuild.headerCols(parsed) ++ stageCols ++ Seq(core238Struct) ++
           manyArrays.map { case (t, _, a) => a.as(s"G_$t") }: _*)
       if (sys.env.contains("GRAFT_PROBE")) {
         // cost split: parse floor vs parse+extract (no cache write)
@@ -190,6 +195,8 @@ object FullBuild {
         val out = staged.select(TableBuild.headerNames.map(col) ++ partOutCols(p): _*)
         Emit.writeTable(out.coalesce(4), s"$work/out", p)
       })
+      lap("core238")(
+        Emit.writeTable(staged.select(col("T_CORE238.*")).coalesce(4), s"$work/out", "core238"))
       // ONE pass over the cache finds which 1:M tables have any rows;
       // empty ones get schema-only writes with no cache scan at all
       import org.apache.spark.sql.functions.{coalesce => cl, lit, max, size}

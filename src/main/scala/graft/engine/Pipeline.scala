@@ -18,6 +18,7 @@ import org.apache.spark.storage.StorageLevel
 object Pipeline {
 
   final case class Outputs(core: DataFrame, typedCore: DataFrame,
+                           core238: DataFrame,
                            children: Map[String, DataFrame],
                            tableOnes: Map[String, DataFrame],
                            presence: DataFrame, failed: DataFrame)
@@ -37,7 +38,7 @@ object Pipeline {
     val schema =
       if (inferSchema) None
       else Some(SchemaBuild.sparseSchema(concordance,
-        SchemaBuild.headerPaths ++ Core.declaredPaths ++
+        SchemaBuild.headerPaths ++ Core.declaredPaths ++ Core238.declaredPaths ++
           presenceSchedules.map(s => s"/Return/ReturnData/IRS990Schedule$s")))
     val parsed = Ingest.readReturns(spark, corpusPath, schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -50,12 +51,14 @@ object Pipeline {
       .filter(e => e.cardinality == "ONE" && e.rdbTable.nonEmpty)
       .map(_.rdbTable).distinct
     val tableOnes = oneTables.map(t => t -> TableBuild.oneToOne(parsed, concordance, t)).toMap
-    Outputs(core, Core.typedView(core), children, tableOnes,
+    Outputs(core, Core.typedView(core), Core238.build(parsed), children, tableOnes,
       TableBuild.schedulePresence(parsed, presenceSchedules), Ingest.failed(parsed))
   }
 
   def writeAll(out: Outputs, outDir: String): Unit = {
     Emit.writeTable(out.core, outDir, "core")
+    // the reference's flagship curated 238-column core layout
+    Emit.writeTable(out.core238, outDir, "core238")
     out.children.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
     out.tableOnes.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
     Emit.writeTable(out.presence, outDir, "schedule_presence")

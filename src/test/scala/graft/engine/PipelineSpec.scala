@@ -44,9 +44,13 @@ class PipelineSpec extends SparkSpec {
   test("writeAll writes every output family, including the empty quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline").toFile
     Pipeline.writeAll(Pipeline.build(spark, fixtureDir, concordance), dir.getPath)
-    for (t <- Seq("core", "PART-VII-01", "PART-VII-00", "schedule_presence", "failed")) {
+    for (t <- Seq("core", "core238", "PART-VII-01", "PART-VII-00",
+                  "schedule_presence", "failed")) {
       assert(new java.io.File(dir, t).isDirectory, s"missing $t")
     }
+    // the curated core layout rides along the pipeline build
+    val c238 = spark.read.parquet(s"${dir.getPath}/core238")
+    assert(c238.columns.length == 237 && c238.count() == 7)
     assert(spark.read.parquet(s"${dir.getPath}/schedule_presence").count() == 7)
     // empty quarantine still reads back with its schema
     assert(spark.read.parquet(s"${dir.getPath}/failed").count() == 0)
