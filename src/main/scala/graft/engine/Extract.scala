@@ -97,8 +97,10 @@ object Extract {
       // variant yields NULL and coalesce can fall through to the next era
       case (_, c) => when(c.isNotNull, array(c.cast("string")))
     }
-    if (arrays.isEmpty) lit(null).cast("string")
-    else array_join(coalesce(arrays: _*), sep)
+    // R's paste(collapse=sep) of ZERO matches is "" (never NA) — docs
+    // without the element (e.g. EZ filers for DOMICILE) get "", R:528
+    if (arrays.isEmpty) lit("")
+    else coalesce(array_join(coalesce(arrays: _*), sep), lit(""))
   }
 
   /** The raw (DataType, Column) resolution — used by the 1:M table

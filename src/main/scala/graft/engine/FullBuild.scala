@@ -150,10 +150,13 @@ object FullBuild {
       def partOutCols(p: String): Seq[org.apache.spark.sql.Column] =
         if (mode == "flat") partCols(p).map { case (v, _) => col(s"${p}__$v").as(v) }
         else partCols(p).map { case (v, _) => col(s"T_$p").getField(v).as(v) }
-      // each 1:M table staged as ONE canonical-normalized array
+      // each 1:M table staged as ONE canonical-normalized array; PF
+      // tables reuse the era groups already resolved for classification
       val manyArrays: Seq[(String, Seq[String], org.apache.spark.sql.Column)] =
         manyTables.flatMap { case (t, entries) =>
-          TableBuild.normalizedGroupArray(parsed, entries, t)
+          pfGroupsByTable.get(t)
+            .map(gs => TableBuild.normalizedGroupArray(gs, entries, t))
+            .getOrElse(TableBuild.normalizedGroupArray(parsed, entries, t))
             .map(a => (t, TableBuild.canonicalVars(entries, t), a))
         }
       // the curated 238-column core rides the same staging pass as one

@@ -23,10 +23,11 @@ object Pipeline {
                            tableOnes: Map[String, DataFrame],
                            presence: DataFrame, failed: DataFrame)
 
-  /** The schedule letters the reference flags in its core
-    * (SCHEDA…SCHEDO, SCHEDR — R:2522-2620).
+  /** The schedule letters the reference flags in its core — derived
+    * from the curated-core metadata (kind=sched rows), so the presence
+    * table and Core238's SCHED* columns can't diverge.
     */
-  val presenceSchedules: Seq[String] = (('A' to 'O').map(_.toString) :+ "R")
+  def presenceSchedules: Seq[String] = Core238.scheduleLetters
 
   def build(spark: SparkSession, corpusPath: String,
             concordance: Seq[ConcordanceEntry],

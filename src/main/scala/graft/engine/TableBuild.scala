@@ -159,9 +159,16 @@ object TableBuild {
     * scan + union per era variant.
     */
   def normalizedGroupArray(df: DataFrame, entries: Seq[ConcordanceEntry],
+                           table: String): Option[Column] =
+    normalizedGroupArray(eraGroups(df, entries, table), entries, table)
+
+  /** Variant over already-resolved groups — callers that resolved
+    * `eraGroups` to classify tables (FullBuild) pass them in instead
+    * of paying the schema walk twice.
+    */
+  def normalizedGroupArray(gs: Seq[EraGroup], entries: Seq[ConcordanceEntry],
                            table: String): Option[Column] = {
     val canonical = canonicalVars(entries, table)
-    val gs = eraGroups(df, entries, table)
     if (gs.isEmpty) None
     else {
       val variants = gs.map { g =>

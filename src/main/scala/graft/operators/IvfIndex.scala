@@ -107,6 +107,9 @@ object IvfIndex {
   private def embOf(corpus: DataFrame): DataFrame =
     corpus.select(col("vec_id").cast("long").as("vec_id"),
       VectorOps.toDouble(col("embedding")).as("emb"))
+      // rows without a vector can't be assigned to a cell (and the
+      // imperative fit fold would NPE on them) — excluded up front
+      .filter(col("vec_id").isNotNull && col("emb").isNotNull)
 
   /** (centroid_id, centroid array<double>) after `iters` Lloyd steps. */
   def centroids(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
@@ -137,6 +140,7 @@ object IvfIndex {
     // array and slice — a projection + explode, no join, no window
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
         VectorOps.toDouble(col("embedding")).as("q_emb"))
+      .filter(col("query_id").isNotNull && col("q_emb").isNotNull)
       .withColumn("q_nrm", VectorOps.l2Norm(col("q_emb")))
     val probes = q.select(col("query_id"), col("q_emb"), col("q_nrm"),
         explode(slice(array_sort(distStructs(col("q_emb"), model)), 1, nprobe))

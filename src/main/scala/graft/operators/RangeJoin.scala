@@ -51,8 +51,14 @@ object RangeJoin {
   }
 
   /** Floor division for possibly-negative longs (Column algebra:
-    * `pmod`-corrected quotient, matching Math.floorDiv).
+    * `pmod`-corrected quotient, matching Math.floorDiv). Uses integral
+    * `div` — `/` on longs goes through double and rounds above 2^53,
+    * which would silently misplace buckets for e.g. nanosecond
+    * timestamps. (x − pmod) is exactly divisible by w; the only
+    * unreachable corner is x within w of Long.MinValue, where the
+    * subtraction would overflow — ANSI mode turns that into an error,
+    * not a wrong answer.)
     */
   private def floorDiv(x: org.apache.spark.sql.Column, w: Long): org.apache.spark.sql.Column =
-    ((x - pmod(x, lit(w))) / w).cast("long")
+    call_function("div", x - pmod(x, lit(w)), lit(w))
 }

@@ -64,9 +64,12 @@ class EngineSpec extends SparkSpec {
     assert(core("100000006")("ACCTMETHOD") == "AccrualCash") // reference paste order :671
   }
 
-  test("E4 DOMICILE across era spellings") {
+  test("E4 DOMICILE across era spellings; zero matches paste to \"\" like R") {
     assert(core("100000001")("DOMICILE") == "NY") // LegalDomicileStateCd
     assert(core("100000002")("DOMICILE") == "CA") // StateLegalDomicile
+    // EZ filer has no DOMICILE xpath: R's paste(collapse) of nothing
+    // is "" — not NA (R:528)
+    assert(core("100000003")("DOMICILE") == "")
   }
 
   test("PROFFEES: PC zeroPC'd fee-group sum; EZ falls back to consolidated field; zeroALL") {

@@ -31,6 +31,17 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("exact buckets beyond 2^53 (nanosecond-timestamp domain)") {
+    // double-precision division would round these; div must not
+    val base = 1700000000000000000L // ~1.7e18, typical epoch nanos
+    val ps = Seq((1L, base + 999L, "in"), (1L, base + 1000L, "out"))
+      .toDF("k", "x", "pname")
+    val ivs = Seq((1L, base, base + 1000L, "iv")).toDF("k", "lo", "hi", "ivname")
+    val got = RangeJoin.pointInInterval(ps, ivs, Seq("k"), "x", "lo", "hi", 333L)
+      .select("pname").as[String].collect().toSeq
+    assert(got == Seq("in"))
+  }
+
   test("matches a brute-force theta join on random data") {
     val rnd = new scala.util.Random(13)
     val ps = (0 until 200).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong))
