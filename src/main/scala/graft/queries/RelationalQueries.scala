@@ -425,6 +425,21 @@ object RelationalQueries {
         .except(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
     },
 
+    // ---- U6: unpivot / melt (wide → long), the inverse of a9 ------------
+    QueryDef.sql(
+      "u6_unpivot",
+      """SELECT o_orderkey, 'o_totalprice' AS metric,
+        |       CAST(o_totalprice AS DOUBLE) AS val FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey',
+        |       CAST(o_custkey AS DOUBLE) FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double"),
+          col("o_custkey").cast("double"))
+        .unpivot(Array(col("o_orderkey")), "metric", "val")
+    },
+
     // ---- A9: pivot to wide format (crosstab as columns) -----------------
     QueryDef.sql(
       "a9_pivot",

@@ -166,6 +166,28 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
     },
 
+    // ---- deterministic stratified sample ------------------------------
+    // Per-class fixed-size sampling for training-data curation: order
+    // each stratum by a cross-engine hash (md5) and keep the first N —
+    // reproducible on any cluster layout (unlike rand()-based
+    // sampleBy), restartable, and bit-exactly oracle-checkable. One
+    // shuffle (the per-stratum window).
+    QueryDef.sql(
+      "c2_stratified_sample",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50).drop("rn")
+    },
+
     // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
     QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
