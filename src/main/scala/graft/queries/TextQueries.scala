@@ -170,8 +170,11 @@ object TextQueries {
     // Per-class fixed-size sampling for training-data curation: order
     // each stratum by a cross-engine hash (md5) and keep the first N —
     // reproducible on any cluster layout (unlike rand()-based
-    // sampleBy), restartable, and bit-exactly oracle-checkable. One
-    // shuffle (the per-stratum window).
+    // sampleBy), restartable, and bit-exactly oracle-checkable.
+    // Scale note: rank-filter-over-window is NOT a full per-stratum
+    // sort at 100 TB — Catalyst inserts partial+final WindowGroupLimit
+    // (verified in the plan), so each map task ships at most N rows
+    // per stratum into the one shuffle.
     QueryDef.sql(
       "c2_stratified_sample",
       """WITH r AS (
