@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{EventStreams, StreamStage}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable registrations of the STREAMING operators: each
+  * query runs the real Structured Streaming code (watermarked window
+  * aggregation, `flatMapGroupsWithState` sessionization, stream-stream
+  * interval join) over a staged file source via [[StreamStage]] and
+  * returns the sink table. The DuckDB oracles are the SAME SQL as the
+  * batch twins ev1/ev2/ev4 — stream results must equal batch results
+  * bit-for-bit once every window/session is flushed.
+  */
+object StreamingQueries {
+
+  private val FlushType = "__flush__"
+
+  private def flushRow(spark: SparkSession, id: Long, iso: String): DataFrame = {
+    import spark.implicits._
+    Seq(EventStreams.Event(id, java.sql.Timestamp.valueOf(iso), -1L, FlushType, 0.0, "{}"))
+      .toDF()
+  }
+
+  private def staged(spark: SparkSession, dir: String, name: String)
+                    (transform: DataFrame => DataFrame): DataFrame = {
+    // two flush batches: the first advances the watermark past all real
+    // data, the second triggers emission of what that watermark closed
+    val bulk = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamStage.run(spark, name, s"/tmp/graft_stream_stage/$name", bulk,
+      Seq(flushRow(spark, -1L, "2100-01-01 00:00:00"),
+          flushRow(spark, -2L, "2100-02-01 00:00:00")))(transform)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Watermarked tumbling-window rollup — streaming twin of ev1
+    QueryDef.sql(
+      "ev1s_hourly_rollup_stream",
+      """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin) { (s, d) =>
+      // flush rows are excluded on the SINK table, not inside the
+      // streaming plan: a filter on a grouping column would be pushed
+      // below withWatermark and the flush would never advance it
+      staged(s, d, "ev1s_out")(EventStreams.hourlyRollup)
+        .filter(col("event_type") =!= FlushType)
+    },
+
+    // flatMapGroupsWithState sessionization — streaming twin of ev2
+    QueryDef.sql(
+      "ev2s_sessionize_stream",
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      staged(s, d, "ev2s_out") { src =>
+        import s.implicits._
+        EventStreams.sessionize(src.as[EventStreams.Event], gapMinutes = 30)
+          .select(col("user_id"), col("n_events"),
+            col("start").as("session_start"), col("end").as("session_end"),
+            col("total_value"))
+      }.filter(col("user_id") >= 0) // sink-side: keep flush users out of the plan
+    },
+
+    // Stream-stream interval join — streaming twin of ev4
+    QueryDef.sql(
+      "ev4s_error_window_join_stream",
+      """WITH err AS (
+        |  SELECT user_id, event_id AS err_id, ts AS lo
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS click_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, e.err_id
+        |FROM clk c JOIN err e
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.lo AND c.ts < e.lo + INTERVAL 4 HOUR""".stripMargin) { (s, d) =>
+      staged(s, d, "ev4s_out")(src =>
+        EventStreams.errorWindowJoin(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "error"),
+          windowMinutes = 240))
+    }
+  )
+}

@@ -60,18 +60,32 @@ object EventStreams {
   /** Open-session aggregate — the ONLY per-key state the streaming
     * sessionizer keeps. O(1) per user regardless of session length;
     * a hot key costs the same as a cold one (the 100 TB requirement —
-    * holding raw events in state would be unbounded).
+    * holding raw events in state would be unbounded). Timestamps are
+    * kept whole (µs precision survives); the value sum accumulates in
+    * exact cents so the emitted total matches the batch twin's
+    * DECIMAL(18,2) arithmetic bit-for-bit.
     */
-  final case class OpenSession(n: Long, startMs: Long, lastMs: Long, sum: Double)
+  final case class OpenSession(n: Long, start: java.sql.Timestamp,
+                               last: java.sql.Timestamp, sumCents: Long)
 
   /** Gap-based sessionization with typed state
     * (`flatMapGroupsWithState`): a session closes after `gapMinutes`
     * of inactivity per user. Event-time timeout + aggregate-only state
-    * keep memory bounded.
+    * keep memory bounded. The gap compares floor-second epochs —
+    * identical to the batch twin's `unix_timestamp` rule, so stream
+    * and batch segment identically.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapSec = gapMinutes * 60L
+
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+    def emit(userId: Long, s: OpenSession): Session =
+      Session(userId, s.n, s.start, s.last,
+        java.math.BigDecimal.valueOf(s.sumCents, 2).doubleValue)
+    def epochSec(t: java.sql.Timestamp): Long = t.toInstant.getEpochSecond
 
     events
       .withWatermark("ts", "1 hour")
@@ -82,29 +96,28 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.n, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.lastMs), s.sum))
+            Iterator(emit(userId, s))
           } else {
             // within one micro-batch the group's events fit an iterator
             // sort; across batches only the aggregate survives
-            val sorted = incoming.toArray.sortBy(_.ts.getTime)
+            val sorted = incoming.toArray.sortBy(e => (e.ts.getTime, e.ts.getNanos))
             var open = state.getOption.orNull
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
               open = open match {
-                case null => OpenSession(1L, t, t, e.value)
-                case s if t - s.lastMs <= gapMs =>
-                  OpenSession(s.n + 1, s.startMs, t, s.sum + e.value)
+                case null => OpenSession(1L, e.ts, e.ts, cents(e.value))
+                case s if epochSec(e.ts) - epochSec(s.last) <= gapSec =>
+                  OpenSession(s.n + 1, s.start, e.ts, s.sumCents + cents(e.value))
                 case s =>
-                  closed += Session(userId, s.n, new java.sql.Timestamp(s.startMs),
-                    new java.sql.Timestamp(s.lastMs), s.sum)
-                  OpenSession(1L, t, t, e.value)
+                  closed += emit(userId, s)
+                  OpenSession(1L, e.ts, e.ts, cents(e.value))
               }
             }
             if (open != null) {
               state.update(open)
-              state.setTimeoutTimestamp(open.lastMs + gapMs)
+              // +1s margin: the gap rule floors to seconds, the timeout
+              // clock doesn't — never time out a continuable session
+              state.setTimeoutTimestamp(open.last.getTime + gapSec * 1000L + 1000L)
             }
             closed.result().iterator
           }

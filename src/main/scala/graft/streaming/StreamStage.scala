@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Path, Paths}
+
+/** Drives a Structured Streaming transform over a STAGED file source so
+  * the result is a plain DataFrame the correctness harness can compare
+  * against a batch oracle — the actual watermark / stateful code runs,
+  * not its batch twin.
+  *
+  * Batch layout (admission-controlled with `maxFilesPerTrigger = 1`):
+  *   batch 1   one bulk file — every real event. Nothing is late
+  *             (the watermark is unset during the first batch), so
+  *             stream results can equal batch results exactly.
+  *   batch 2+  one single-row "flush" file per batch, with event times
+  *             far past the real data. Each flush batch first advances
+  *             the watermark, and the NEXT batch emits windows/sessions
+  *             the new watermark closed — hence two flushes: one to
+  *             advance, one to trigger emission of everything real.
+  * File order is forced twice over (names f0<f1<f2 AND stepped mtimes)
+  * so either FileStreamSource ordering policy yields the same batches.
+  */
+object StreamStage {
+
+  def run(spark: SparkSession, name: String, stageDir: String,
+          bulk: DataFrame, flushes: Seq[DataFrame])
+         (transform: DataFrame => DataFrame): DataFrame = {
+    val inDir = Paths.get(stageDir, "in")
+    deleteRecursively(Paths.get(stageDir))
+
+    bulk.coalesce(1).write.parquet(inDir.toString)
+    renameParts(inDir, known = Set.empty, to = "f0.parquet")
+    flushes.zipWithIndex.foldLeft(Set("f0.parquet")) { case (known, (f, i)) =>
+      f.coalesce(1).write.mode("append").parquet(inDir.toString)
+      known + renameParts(inDir, known, s"f${i + 1}.parquet")
+    }
+    val t0 = System.currentTimeMillis() - 3600000L
+    (0 to flushes.length).foreach { i =>
+      Files.setLastModifiedTime(inDir.resolve(s"f$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+    }
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val q = transform(src).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$stageDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Rename the just-written part file to a stable ordered name. */
+  private def renameParts(dir: Path, known: Set[String], to: String): String = {
+    val added = Files.list(dir).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".parquet") && !known(n)
+    }.toArray.map(_.asInstanceOf[Path])
+    require(added.length == 1, s"expected one new part file, got ${added.length}")
+    Files.move(added.head, dir.resolve(to))
+    to
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The registered streaming queries must equal their batch twins
+  * row-for-row (the driver's DuckDB oracle IS the batch SQL — any
+  * watermark leak, dropped session, or double-rounding drift fails
+  * here first).
+  */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private def q(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    StreamingQueries.defs.find(_.name == name).get.fn
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  test("ev1s streaming rollup == batch rollup") {
+    val streamed = q("ev1s_hourly_rollup_stream")(spark, sf())
+    val batch = EventStreams.hourlyRollup(Tables.events(spark, sf()))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("ev2s streaming sessionize == batch sessionize") {
+    val streamed = q("ev2s_sessionize_stream")(spark, sf())
+    val batch = EventStreams.sessionizeBatch(Tables.events(spark, sf()), gapMinutes = 30)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("ev4s streaming interval join == batch range join") {
+    val streamed = q("ev4s_error_window_join_stream")(spark, sf())
+    val ev = Tables.events(spark, sf())
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("lo"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val batch = clk.join(err,
+        col("user_id") === col("u") && col("ts") >= col("lo") &&
+          col("ts") < col("lo") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("click_id"), col("err_id"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+}
