@@ -16,14 +16,16 @@ object FullBuild {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10000)
     val work = if (args.length > 1) args(1) else "/tmp/graft_full_build"
-    // "struct" (default): ONE pass over the parse staging per-part
-    // struct blobs + child group arrays into the columnar cache; the 18
-    // part writes and child explodes then run concurrently against
-    // pruned cache reads. "flat" stages one cached column per variable
-    // instead. "cached"/"staged": earlier shapes, kept for same-session
-    // A/B (host CPU swings ±3×; measured cached=75.1s vs struct=41.7s
-    // back-to-back at 10k docs).
-    val mode = if (args.length > 2) args(2) else "struct"
+    // "rawpq" (default, round 3): parse the XML once into a raw nested
+    // parquet table; every table job reads THAT with parquet
+    // nested-schema pruning — no monolithic staging projection exists
+    // and each job stays codegen-sized (same-session A/B at 50k:
+    // struct 500.6s → rawpq 114.3s, 4.4×, outputs identical).
+    // "struct": ONE pass over the parse staging per-part struct blobs +
+    // child group arrays into the columnar cache. "flat" stages one
+    // cached column per variable instead. "cached"/"staged": earlier
+    // shapes, kept for same-session A/B (host CPU swings ±3×).
+    val mode = if (args.length > 2) args(2) else "rawpq"
     // scope "full" (default): all 9,731 master rows — PC+EZ+PF F9 parts
     // plus the 131 PF attachment-schedule tables. "f9": round-1 surface
     // (F9-PART tables only), for comparable throughput numbers.
@@ -82,7 +84,8 @@ object FullBuild {
     // flat mode consumes the parse exactly once (the staging pass), so
     // it neither caches the nested rows nor runs a timing pre-pass
     val parsed =
-      if (mode == "flat" || mode == "struct") Ingest.readReturns(spark, corpusDir, Some(schema))
+      if (mode == "flat" || mode == "struct" || mode == "rawpq")
+        Ingest.readReturns(spark, corpusDir, Some(schema))
       else {
         val p = Ingest.readReturns(spark, corpusDir, Some(schema))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -99,7 +102,104 @@ object FullBuild {
     // per-part projections.
     val parts = f9.map(_.rdbTable).distinct.sorted
     val childTables = childConcordance.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
-    if (mode == "flat" || mode == "struct") {
+    if (mode == "rawpq") {
+      // Raw-parquet staging — the 100 TB shape: parse the XML ONCE and
+      // write the nested document row as parquet; every downstream
+      // table job then reads THAT with parquet nested-schema pruning,
+      // so a 135-variable part build decodes ~135 leaf columns, not the
+      // 4,900-leaf row. No monolithic 5,000-expression staging
+      // projection exists: each job's projection is codegen-sized, and
+      // the XML tokenizer (the real floor) runs exactly once.
+      import org.apache.spark.sql.functions.col
+      def lap(label: String)(f: => Unit): Unit = {
+        val s = System.nanoTime(); f
+        println(f"[full-build]   $label: ${(System.nanoTime() - s) / 1e9}%.1fs")
+      }
+      // The maxFields=4000 override exists for the struct-blob path
+      // (narrow getField projections). Here every job is a wide
+      // coalesce-chain projection: forcing whole-stage codegen on those
+      // generates unsplittable >64KB consume methods — each job then
+      // pays a failed janino compile before falling back. Split-method
+      // UnsafeProjection (the default above 100 fields) is the right
+      // code path for this shape.
+      spark.conf.set("spark.sql.codegen.maxFields", "100")
+      // vectorized-reader memory = leaves × batchSize × tasks; the
+      // emptiness probe scans every group subtree in one job, so the
+      // default 4096-row batches over thousands of leaf vectors OOM a
+      // local heap. 512 keeps decode throughput, bounds the vectors.
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+      val rawDir = s"$work/raw"
+      // coalesce before the write so the parse runs one task per core
+      // and the raw table lands in core-count files (not one tiny
+      // wide-footer parquet file per bin-packed input split)
+      lap("parse+raw-write")(
+        parsed.coalesce(32).write.mode("overwrite").parquet(rawDir))
+      val raw = spark.read.parquet(rawDir)
+
+      val pfTables = pfOne.map(_.rdbTable).distinct.sorted
+      val pfGroupsByTable: Map[String, Seq[TableBuild.EraGroup]] =
+        pfTables.map(t => t -> TableBuild.eraGroups(raw, pfMany, t)).toMap
+      val (pfManyTables, pfOneTables) = pfTables.partition(t => pfGroupsByTable(t).nonEmpty)
+      val childOneTables = childConcordance
+        .filter(e => e.cardinality == "ONE" && e.rdbTable.nonEmpty)
+        .map(_.rdbTable).distinct.sorted
+      val oneTables: Seq[(String, Seq[ConcordanceEntry])] =
+        parts.map(p => p -> f9) ++ pfOneTables.map(t => t -> pfOne) ++
+          childOneTables.map(t => t -> childConcordance)
+      val manyTables: Seq[(String, Seq[ConcordanceEntry])] =
+        childTables.map(t => t -> childConcordance) ++ pfManyTables.map(t => t -> pfMany)
+      val manyArrays: Seq[(String, Seq[String], org.apache.spark.sql.Column)] =
+        manyTables.flatMap { case (t, entries) =>
+          pfGroupsByTable.get(t)
+            .map(gs => TableBuild.normalizedGroupArray(gs, entries, t))
+            .getOrElse(TableBuild.normalizedGroupArray(raw, entries, t))
+            .map(a => (t, TableBuild.canonicalVars(entries, t), a))
+        }
+
+      val pool = new java.util.concurrent.ForkJoinPool(8)
+      def inParallel[A](xs: Seq[A])(f: A => Unit): Unit = {
+        val tasks = xs.map(x => pool.submit(new java.util.concurrent.RecursiveAction {
+          override def compute(): Unit = f(x)
+        }))
+        tasks.foreach(_.join())
+      }
+      lap("part-writes")(inParallel(oneTables) { case (p, entries) =>
+        Emit.writeTable(TableBuild.oneToOne(raw, entries, p).coalesce(4), s"$work/out", p)
+      })
+      lap("core238")(
+        Emit.writeTable(Core238.build(raw).coalesce(4), s"$work/out", "core238"))
+      // ONE pruned pass over the raw table finds non-empty 1:M groups;
+      // empty ones write schema-only (no scan per empty table)
+      import org.apache.spark.sql.functions.{coalesce => cl, lit, max, size}
+      val sizesRow = raw.select(manyArrays.map { case (t, _, a) =>
+        max(cl(size(a), lit(0))).as(t) }: _*).collect()(0)
+      val hasRows = manyArrays.map { case (t, _, _) =>
+        t -> (sizesRow.getAs[Int](t) > 0) }.toMap
+      def emptyChild(canonical: Seq[String]) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            (TableBuild.headerNames ++ canonical).map(n =>
+              org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+      lap("child-tables")(inParallel(manyArrays) { case (t, canonical, a) =>
+        val child =
+          if (hasRows(t))
+            raw.select(TableBuild.headerCols(raw) :+
+                org.apache.spark.sql.functions.explode(a).as("item"): _*)
+              .select(TableBuild.headerNames.map(col) ++
+                canonical.map(v => col("item").getField(v).as(v)): _*)
+              .coalesce(4)
+          else emptyChild(canonical)
+        Emit.writeTable(child, s"$work/out", t)
+      })
+      val resolved = manyArrays.map(_._1).toSet
+      inParallel(manyTables.filterNot(mt => resolved(mt._1))) { case (t, entries) =>
+        Emit.writeTable(emptyChild(TableBuild.canonicalVars(entries, t)), s"$work/out", t)
+      }
+      pool.shutdown()
+      println(s"[full-build] pf tables: ${pfManyTables.length} grouped (1:M) + " +
+        s"${pfOneTables.length} scalar (1:1)")
+    } else if (mode == "flat" || mode == "struct") {
       // Stage ALL scalar variables as FLAT prefixed string columns plus
       // the child-table group arrays, in ONE pass over the parse (which
       // is never cached in its 4,900-leaf nested form). The in-memory
