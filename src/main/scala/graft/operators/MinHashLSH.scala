@@ -20,27 +20,45 @@ import graft.functions.TextFunctions
   */
 object MinHashLSH {
 
-  /** Signature table: (id, shingles, sig array).
+  /** Signature table: (id, n, sig array of numHashes minima).
     *
     * Each shingle string is hashed ONCE to a long; the per-band hash
     * family then re-hashes that 8-byte long (`h_i = xxhash64(h, i)`)
     * instead of re-hashing the full string numHashes times — same
     * min-wise family quality at a fraction of the byte-hashing cost.
+    *
+    * Shape: explode the shingle hashes and run numHashes codegen'd MIN
+    * aggregates. Higher-order-function lambdas are interpreted per
+    * (element × hash) — the S·numHashes hot path — while explode +
+    * xxhash64 + partial min all live inside whole-stage codegen, and
+    * map-side partial aggregation ships numHashes longs per document,
+    * so the groupBy shuffle is signature-sized, not shingle-sized.
     */
   def signatures(docs: DataFrame, textCol: String, idCol: String,
                  numHashes: Int, shingleSize: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val sig: Column = array(
-      (0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
-      }: _*)
+    // distinct first: repeated shingles add nothing to a MIN aggregate,
+    // and Jaccard is a set measure — so n = |set| also tightens the
+    // symmetric length prefilter
     docs.select(col(idCol).as("id"),
-        TextFunctions.shingleHashes(toks, shingleSize).as("hs"))
-      .withColumn("sig", sig)
+        explode(array_distinct(TextFunctions.shingleHashes(toks, shingleSize))).as("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n"),
+        (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+      .select(col("id"), col("n"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold,
     * candidate-filtered through `bands` LSH bands of numHashes/bands rows.
+    *
+    * No persist: caching the corpus-wide hashed-shingle arrays costs
+    * far more than the compute they save (measured 4.3 s cache write vs
+    * 0.4 s recompute at sf0.1) — and at 100 TB an S-element array per
+    * document is exactly the intermediate you don't materialize. The
+    * banding pass streams shingles → signature → bands in one shot; the
+    * verify step re-derives shingle sets inside its candidate joins,
+    * where candidates ≪ corpus.
     */
   def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
@@ -48,15 +66,15 @@ object MinHashLSH {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
-    // signature table feeds both the banding pass and the verify join:
-    // persist so the shingle+minhash computation runs once, not three
-    // times (at cluster scale this is a checkpointed intermediate)
+    // signature rows are TINY (numHashes longs + 2 scalars per doc), so
+    // persisting them is ~1 MB per 5k docs — that one small cache keeps
+    // the band self-join from running the shingle pipeline twice
     val sigs = signatures(docs, textCol, idCol, numHashes, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band rows: (id, shingle-set size, band_id, band_hash)
     val banded = sigs.select(
-      col("id"), size(col("hs")).as("n"),
+      col("id"), col("n"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows))))).as(Seq("band_id", "band_hash")))
 
@@ -74,8 +92,11 @@ object MinHashLSH {
 
     // exact-Jaccard verify on the hashed shingle sets (8-byte elements
     // shuffle ~10× lighter than shingle strings; xxhash64 collisions
-    // are negligible at corpus scale)
-    val sets = sigs.select(col("id"), col("hs").as("shingles"))
+    // are negligible at corpus scale) — re-derived from the raw text,
+    // not read back from a cached signature table
+    val sets = docs.select(col(idCol).as("id"),
+      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleSize)
+        .as("shingles"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     candidates

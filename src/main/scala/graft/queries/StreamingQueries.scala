@@ -25,13 +25,17 @@ object StreamingQueries {
 
   private def staged(spark: SparkSession, dir: String, name: String)
                     (transform: DataFrame => DataFrame): DataFrame = {
-    // two flush batches: the first advances the watermark past all real
-    // data, the second triggers emission of what that watermark closed
+    // flush 1 rides INSIDE the bulk batch (intra-batch data is never
+    // late, and the watermark updates from the batch max) so it pushes
+    // the watermark past all real data after batch 1; the second flush
+    // file forms batch 2, whose processing emits every window/session
+    // the new watermark closed. Two batches total.
     val bulk = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .unionByName(flushRow(spark, -1L, "2100-01-01 00:00:00"))
     StreamStage.run(spark, name, s"/tmp/graft_stream_stage/$name", bulk,
-      Seq(flushRow(spark, -1L, "2100-01-01 00:00:00"),
-          flushRow(spark, -2L, "2100-02-01 00:00:00")))(transform)
+      Seq(flushRow(spark, -2L, "2100-02-01 00:00:00")),
+      shufflePartitions = Some(8))(transform)
   }
 
   def defs: Seq[QueryDef] = Seq(

@@ -24,7 +24,8 @@ import java.nio.file.{Files, Path, Paths}
 object StreamStage {
 
   def run(spark: SparkSession, name: String, stageDir: String,
-          bulk: DataFrame, flushes: Seq[DataFrame])
+          bulk: DataFrame, flushes: Seq[DataFrame],
+          shufflePartitions: Option[Int] = None)
          (transform: DataFrame => DataFrame): DataFrame = {
     val inDir = Paths.get(stageDir, "in")
     deleteRecursively(Paths.get(stageDir))
@@ -45,13 +46,21 @@ object StreamStage {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.toString)
-    val q = transform(src).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", s"$stageDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // every stateful operator keeps one state-store instance per
+    // shuffle partition PER MICRO-BATCH — on a staged local run that
+    // fixed cost dwarfs the data, so callers may bound it (a cluster
+    // run sizes it to the key space instead)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = transform(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$stageDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(name)
   }
 
