@@ -39,6 +39,29 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear < hammingFar, s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
   }
 
+  test("SimHash golden signatures: exact 64-bit values pinned") {
+    // d4 is a rows-only driver check (no DuckDB xxhash64), so the
+    // bit-exact gate lives here: any change to tokenization, the hash
+    // family, or the bit-sum sign rule moves these longs
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "sphinx of black quartz judge my vow"),
+      (5L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val got = SimHash.signatures(fixture, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val golden = Map(
+      1L -> -7573889167326994222L,
+      2L -> -7573326217371541038L,
+      3L -> 2495353224988115078L,
+      4L -> 4762906711925119524L,
+      5L -> -7573889167326994222L)
+    assert(got == golden)
+  }
+
   test("SimHash.nearDuplicates returns exact dups at hamming 0") {
     val pairs = SimHash.nearDuplicates(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
