@@ -35,19 +35,32 @@ object FullBuild {
       System.err.println("[full-build] reference crosswalks not present; nothing to do")
       return
     }
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    // Environment-derived knobs so the same entry point is
+    // cluster-submittable: SPARK_GRAFT_MASTER=provided defers to
+    // spark-submit's --master; pool/write-task sizes default from the
+    // session's parallelism instead of local[32]-era constants.
+    val masterEnv = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val builder0 = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
       // XML element names are case-sensitive; the master crosswalk has
       // sibling fields differing only in case (e.g. AppliedToESTaxAmt)
       .config("spark.sql.caseSensitive", "true")
       // wide projections: whole-stage codegen defaults off above 100
       // fields (spark.sql.codegen.maxFields) - measured 2.4x on 305-col
+      // (struct mode; rawpq resets this, see below)
       .config("spark.sql.codegen.maxFields", "4000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (masterEnv == "provided") builder0 else builder0.master(masterEnv))
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+        spark.sparkContext.defaultParallelism.toString))
+    val poolSize = sys.env.get("SPARK_GRAFT_POOL").map(_.toInt).getOrElse(8)
+    val writeTasks = sys.env.get("SPARK_GRAFT_WRITE_TASKS").map(_.toInt)
+      .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 8))
+    val csv = sys.env.get("GRAFT_CSV").exists(v => v == "1" || v == "true")
 
     // corpus (untimed)
     val corpusDir = s"$work/corpus"
@@ -133,7 +146,8 @@ object FullBuild {
       // and the raw table lands in core-count files (not one tiny
       // wide-footer parquet file per bin-packed input split)
       lap("parse+raw-write")(
-        parsed.coalesce(32).write.mode("overwrite").parquet(rawDir))
+        parsed.coalesce(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(rawDir))
       val raw = spark.read.parquet(rawDir)
 
       val pfTables = pfOne.map(_.rdbTable).distinct.sorted
@@ -156,18 +170,24 @@ object FullBuild {
             .map(a => (t, TableBuild.canonicalVars(entries, t), a))
         }
 
-      val pool = new java.util.concurrent.ForkJoinPool(8)
+      val pool = new java.util.concurrent.ForkJoinPool(poolSize)
       def inParallel[A](xs: Seq[A])(f: A => Unit): Unit = {
         val tasks = xs.map(x => pool.submit(new java.util.concurrent.RecursiveAction {
           override def compute(): Unit = f(x)
         }))
         tasks.foreach(_.join())
       }
+      // parquet always; headered CSV alongside under GRAFT_CSV=1 (the
+      // reference's primary format, R:5130-5163)
+      def emitTable(df: org.apache.spark.sql.DataFrame, t: String): Unit = {
+        Emit.writeTable(df, s"$work/out", t)
+        if (csv) Emit.exportCsv(df, s"$work/out_csv", t)
+      }
       lap("part-writes")(inParallel(oneTables) { case (p, entries) =>
-        Emit.writeTable(TableBuild.oneToOne(raw, entries, p).coalesce(4), s"$work/out", p)
+        emitTable(TableBuild.oneToOne(raw, entries, p).coalesce(writeTasks), p)
       })
       lap("core238")(
-        Emit.writeTable(Core238.build(raw).coalesce(4), s"$work/out", "core238"))
+        emitTable(Core238.build(raw).coalesce(writeTasks), "core238"))
       // ONE pruned pass over the raw table finds non-empty 1:M groups;
       // empty ones write schema-only (no scan per empty table)
       import org.apache.spark.sql.functions.{coalesce => cl, lit, max, size}
@@ -188,13 +208,13 @@ object FullBuild {
                 org.apache.spark.sql.functions.explode(a).as("item"): _*)
               .select(TableBuild.headerNames.map(col) ++
                 canonical.map(v => col("item").getField(v).as(v)): _*)
-              .coalesce(4)
+              .coalesce(writeTasks)
           else emptyChild(canonical)
-        Emit.writeTable(child, s"$work/out", t)
+        emitTable(child, t)
       })
       val resolved = manyArrays.map(_._1).toSet
       inParallel(manyTables.filterNot(mt => resolved(mt._1))) { case (t, entries) =>
-        Emit.writeTable(emptyChild(TableBuild.canonicalVars(entries, t)), s"$work/out", t)
+        emitTable(emptyChild(TableBuild.canonicalVars(entries, t)), t)
       }
       pool.shutdown()
       println(s"[full-build] pf tables: ${pfManyTables.length} grouped (1:M) + " +
@@ -287,7 +307,7 @@ object FullBuild {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       // per-table output jobs are small; driver planning + job latency
       // dominates, so run them concurrently (a cluster does the same)
-      val pool = new java.util.concurrent.ForkJoinPool(8)
+      val pool = new java.util.concurrent.ForkJoinPool(poolSize)
       def inParallel[A](xs: Seq[A])(f: A => Unit): Unit = {
         val tasks = xs.map(x => pool.submit(new java.util.concurrent.RecursiveAction {
           override def compute(): Unit = f(x)
@@ -296,10 +316,10 @@ object FullBuild {
       }
       lap("part-writes")(inParallel(oneTables.map(_._1)) { p =>
         val out = staged.select(TableBuild.headerNames.map(col) ++ partOutCols(p): _*)
-        Emit.writeTable(out.coalesce(4), s"$work/out", p)
+        Emit.writeTable(out.coalesce(writeTasks), s"$work/out", p)
       })
       lap("core238")(
-        Emit.writeTable(staged.select(col("T_CORE238.*")).coalesce(4), s"$work/out", "core238"))
+        Emit.writeTable(staged.select(col("T_CORE238.*")).coalesce(writeTasks), s"$work/out", "core238"))
       // ONE pass over the cache finds which 1:M tables have any rows;
       // empty ones get schema-only writes with no cache scan at all
       import org.apache.spark.sql.functions.{coalesce => cl, lit, max, size}
@@ -315,7 +335,7 @@ object FullBuild {
               org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
       lap("child-tables")(inParallel(manyArrays) { case (t, canonical, _) =>
         val child =
-          if (hasRows(t)) TableBuild.childFromNormalized(staged, col(s"G_$t"), canonical).coalesce(4)
+          if (hasRows(t)) TableBuild.childFromNormalized(staged, col(s"G_$t"), canonical).coalesce(writeTasks)
           else emptyChild(canonical)
         Emit.writeTable(child, s"$work/out", t)
       })
@@ -361,7 +381,7 @@ object FullBuild {
         lap("probe-write-nopart")(parts.foreach(p =>
           partDf(p).write.mode("overwrite").parquet(s"$work/out_nopart/$p")))
         lap("probe-write-coalesced")(parts.foreach(p =>
-          partDf(p).coalesce(4).write.mode("overwrite").partitionBy("TAXYR").parquet(s"$work/out_c4/$p")))
+          partDf(p).coalesce(writeTasks).write.mode("overwrite").partitionBy("TAXYR").parquet(s"$work/out_c4/$p")))
       }
       lap("part-writes")(parts.foreach(p => Emit.writeTable(partDf(p), s"$work/out", p)))
       staged.unpersist()

@@ -56,17 +56,26 @@ object Pipeline {
       TableBuild.schedulePresence(parsed, presenceSchedules), Ingest.failed(parsed))
   }
 
-  def writeAll(out: Outputs, outDir: String): Unit = {
-    Emit.writeTable(out.core, outDir, "core")
+  /** `csv = true` additionally writes each table as headered CSV —
+    * the reference's primary output format (`write.csv` alongside
+    * `.rds` per table, `build_efile_database_functions.R:5130-5163`).
+    */
+  def writeAll(out: Outputs, outDir: String, csv: Boolean = false): Unit = {
+    def emit(df: DataFrame, t: String): Unit = {
+      Emit.writeTable(df, outDir, t)
+      if (csv) Emit.exportCsv(df, outDir, t)
+    }
+    emit(out.core, "core")
     // the reference's flagship curated 238-column core layout
-    Emit.writeTable(out.core238, outDir, "core238")
-    out.children.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
-    out.tableOnes.foreach { case (t, df) => Emit.writeTable(df, outDir, t) }
-    Emit.writeTable(out.presence, outDir, "schedule_presence")
+    emit(out.core238, "core238")
+    out.children.foreach { case (t, df) => emit(df, t) }
+    out.tableOnes.foreach { case (t, df) => emit(df, t) }
+    emit(out.presence, "schedule_presence")
     // FAIL_LIST analogue (R:4966-5101): quarantined documents with
     // their raw payloads, written even when empty so downstream
     // retry tooling always finds the table
     out.failed.write.mode("overwrite").parquet(s"$outDir/failed")
+    if (csv) Emit.exportCsv(out.failed, outDir, "failed")
   }
 }
 
@@ -76,8 +85,11 @@ object Pipeline {
   */
 object BuildDemo {
   def main(args: Array[String]): Unit = {
-    val corpus = args.headOption.getOrElse("src/test/resources/xml")
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_990_out"
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val corpus = pos.headOption.getOrElse("src/test/resources/xml")
+    val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_990_out"
+    val csv = flags.contains("--csv")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -95,7 +107,7 @@ object BuildDemo {
       pv("DTK_COMP_ORG", "/Return/ReturnData/IRS990/Form990PartVIISectionA/ReportableCompFromOrganization"))
 
     val out = Pipeline.build(spark, corpus, concordance)
-    Pipeline.writeAll(out, outDir)
+    Pipeline.writeAll(out, outDir, csv = csv)
 
     println(s"[demo] corpus=$corpus out=$outDir failed=${out.failed.count()}")
     spark.read.parquet(s"$outDir/core").createOrReplaceTempView("core")

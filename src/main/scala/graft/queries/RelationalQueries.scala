@@ -343,15 +343,24 @@ object RelationalQueries {
 
     // ---- J2/G: 1:M parent-key replication via explode -------------------
     // (reference: build_rdb_table — header keys replicated onto each
-    //  repeating-group row, R:269-270. Here: group to array, explode back;
-    //  the oracle is the identity projection, proving explode+replication
-    //  round-trips the child table exactly.)
+    //  repeating-group row, R:269-270.) The registered plan explodes an
+    //  ALREADY-NESTED parent table — the shape the 990 corpus arrives
+    //  in (Return → repeating group array) and what TableBuild.oneToMany
+    //  actually runs; no collect_list (memory-unbounded per key) exists
+    //  in it. The nested source is staged corpus-prep, sorted inside
+    //  each array for determinism; the oracle is the identity
+    //  projection, proving explode + key replication round-trips the
+    //  child table exactly.
     QueryDef.sql(
       "j2_explode_child_table",
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem") { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      li.groupBy(col("l_orderkey"))
-        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))).as("items"))
+      val nestedDir = s"/tmp/graft_j2_nested/${new java.io.File(d).getName}"
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("items"))
+        .write.mode("overwrite").parquet(nestedDir)
+      s.read.parquet(nestedDir)
         .select(col("l_orderkey"), explode(col("items")).as("item"))
         .select(col("l_orderkey"), col("item.l_linenumber"), col("item.l_quantity"), col("item.l_extendedprice"))
     },

@@ -55,4 +55,14 @@ class PipelineSpec extends SparkSpec {
     // empty quarantine still reads back with its schema
     assert(spark.read.parquet(s"${dir.getPath}/failed").count() == 0)
   }
+
+  test("writeAll csv flag writes headered CSV alongside parquet (R:5130-5163)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-csv").toFile
+    Pipeline.writeAll(Pipeline.build(spark, fixtureDir, concordance), dir.getPath, csv = true)
+    for (t <- Seq("core", "core238", "PART-VII-01", "schedule_presence")) {
+      assert(new java.io.File(dir, s"$t.csv").isDirectory, s"missing $t.csv")
+    }
+    val csv = spark.read.option("header", "true").csv(s"${dir.getPath}/core238.csv")
+    assert(csv.columns.length == 237 && csv.count() == 7)
+  }
 }
