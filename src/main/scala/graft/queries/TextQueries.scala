@@ -191,6 +191,80 @@ object TextQueries {
         .filter(col("rn") <= 50).drop("rn")
     },
 
+    // ---- Benchmark-contamination check ---------------------------------
+    // The training-data hygiene op: count each candidate document's
+    // distinct 5-gram overlaps with an evaluation-benchmark set (here a
+    // deterministic stand-in slice, doc_id % 19 == 0). 100 TB shape:
+    // eval suites are small by nature, so the benchmark n-gram set is
+    // BROADCAST — the corpus side never shuffles.
+    QueryDef.sql(
+      "t6_contamination",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 4, 0) + 1),
+        |    i -> array_to_string(t[i:i+4], ' ')))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 19 = 0),
+        |eval AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 <> 0)
+        |SELECT e.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(count(b.g) AS BIGINT) AS n_contaminated,
+        |  (count(b.g) > 0) AS contaminated
+        |FROM eval e LEFT JOIN bench b ON e.g = b.g
+        |GROUP BY e.doc_id""".stripMargin) { (s, d) =>
+      val k = 5
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      val m = size(col("t")) - (k - 1)
+      val grams = when(m >= 1,
+          transform(sequence(lit(1), m), i => array_join(slice(col("t"), i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val ng = staged.select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+      val bench = ng.filter(col("doc_id") % 19 === 0).select("g").distinct()
+      ng.filter(col("doc_id") % 19 =!= 0)
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_contaminated"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
+    },
+
+    // ---- Intra-document repetition score -------------------------------
+    // Quality signal: fraction of repeated 3-grams inside a document
+    // (1 - distinct/total). Pure per-row Column algebra — no shuffle.
+    QueryDef.sql(
+      "t7_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')) AS grams
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_3grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin) { (s, d) =>
+      val k = 3
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      val m = size(col("t")) - (k - 1)
+      val grams = when(m >= 1,
+          transform(sequence(lit(1), m), i => array_join(slice(col("t"), i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      staged.select(col("doc_id"), grams.as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_3grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+          when(size(col("grams")) > 0,
+            lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+              size(col("grams")).cast("double"))
+            .otherwise(lit(0.0)).as("rep_ratio"))
+    },
+
     // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
     QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
