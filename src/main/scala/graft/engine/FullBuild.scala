@@ -144,11 +144,38 @@ object FullBuild {
       val rawDir = s"$work/raw"
       // coalesce before the write so the parse runs one task per core
       // and the raw table lands in core-count files (not one tiny
-      // wide-footer parquet file per bin-packed input split)
-      lap("parse+raw-write")(
-        parsed.coalesce(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(rawDir))
-      val raw = spark.read.parquet(rawDir)
+      // wide-footer parquet file per bin-packed input split).
+      //
+      // TAXYR partitioning of the raw table makes year-scoped
+      // derivations (the reference's buildYear unit) pure partition
+      // pruning and the monthly refresh an append of year partitions —
+      // the right layout at corpus scale, where each partition holds
+      // GBs and the per-file footer of a 4,900-leaf schema is noise.
+      // On a 50k-doc local corpus that same footer dominates (4× the
+      // files cost ~35 s), so it is opt-in: GRAFT_RAW_PARTITION=1, or
+      // implied by GRAFT_YEARS.
+      val years = sys.env.get("GRAFT_YEARS").map(_.split(',').toSeq).getOrElse(Nil)
+      val partitionRaw = years.nonEmpty ||
+        sys.env.get("GRAFT_RAW_PARTITION").exists(v => v == "1" || v == "true")
+      lap("parse+raw-write") {
+        val base = parsed.coalesce(spark.sparkContext.defaultParallelism)
+        if (partitionRaw)
+          base.withColumn("TAXYR", Rules.taxYear(
+              org.apache.spark.sql.functions.regexp_replace(
+                Extract.scalar(parsed, Seq(
+                  "/Return/ReturnHeader/TaxPeriodEndDt",
+                  "/Return/ReturnHeader/TaxPeriodEndDate")),
+                org.apache.spark.sql.functions.lit("-"),
+                org.apache.spark.sql.functions.lit(""))).cast("string"))
+            .write.mode("overwrite").partitionBy("TAXYR").parquet(rawDir)
+        else base.write.mode("overwrite").parquet(rawDir)
+      }
+      // GRAFT_YEARS=2013,2014 scopes every derivation below to those
+      // raw partitions (partition pruning — no other data is read)
+      val rawAll = spark.read.parquet(rawDir)
+      val raw =
+        (if (years.nonEmpty) rawAll.filter(col("TAXYR").isin(years: _*)) else rawAll)
+          .drop("TAXYR")
 
       val pfTables = pfOne.map(_.rdbTable).distinct.sorted
       val pfGroupsByTable: Map[String, Seq[TableBuild.EraGroup]] =

@@ -192,4 +192,35 @@ object Refresh {
       .start()
     q.awaitTermination()
   }
+
+  /** Monthly refresh into the RAW staging table (the rawpq
+    * architecture): newly-landed XML appends its parsed nested rows to
+    * the TAXYR-partitioned raw parquet, exactly-once per file. Every
+    * derived table can then be rebuilt (or year-sliced) from the raw
+    * table with partition pruning — the parse is never repeated.
+    */
+  def incrementalRawStaging(spark: SparkSession, landingGlob: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            rawDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.{input_file_name, lit, regexp_replace}
+    import graft.engine.{Extract, Rules}
+    val parsed = spark.readStream
+      .format("xml")
+      .schema(schema)
+      .option("rowTag", "Return")
+      .load(landingGlob)
+      .withColumn("source_url", input_file_name())
+    val withYear = parsed.withColumn("TAXYR", Rules.taxYear(
+      regexp_replace(Extract.scalar(parsed, Seq(
+        "/Return/ReturnHeader/TaxPeriodEndDt",
+        "/Return/ReturnHeader/TaxPeriodEndDate")), lit("-"), lit(""))).cast("string"))
+    val q = withYear.writeStream
+      .format("parquet")
+      .partitionBy("TAXYR")
+      .option("path", rawDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -132,6 +132,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(core.columns.contains("GROSSRECEIPTS"))
   }
 
+  test("Refresh.incrementalRawStaging appends year-partitioned raw rows; tables derive from raw") {
+    import graft.engine.{Core238, SchemaBuild}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-raw-refresh").toFile
+    val landing = new java.io.File(tmp, "landing"); landing.mkdirs()
+    val raw = new java.io.File(tmp, "raw")
+    val ckpt = new java.io.File(tmp, "ckpt")
+    val schema = SchemaBuild.sparseSchema(Nil,
+      SchemaBuild.headerPaths ++ Core238.declaredPaths)
+
+    def land(n: Int, offset: Int, post2013: Boolean): Unit = (0 until n).foreach { i =>
+      val ein = f"${300000000 + offset + i}%09d"
+      java.nio.file.Files.writeString(
+        new java.io.File(landing, s"${ein}_public.xml").toPath,
+        graft.engine.EngineBench.synthDoc(ein, post2013 = post2013,
+          ez = false, gross = 1000L + i, members = 1, seed = i))
+    }
+    land(4, 0, post2013 = true)   // TAXYR 2013 (period 2014-xx, pre-Dec rule)
+    Refresh.incrementalRawStaging(spark, landing.getPath, schema, raw.getPath, ckpt.getPath)
+    land(3, 100, post2013 = false) // TAXYR 2011/2012 era spellings
+    Refresh.incrementalRawStaging(spark, landing.getPath, schema, raw.getPath, ckpt.getPath)
+
+    val rawDf = spark.read.parquet(raw.getPath)
+    assert(rawDf.count() == 7, "second run appends only the 3 new filings")
+    // year partitions exist on disk (partition pruning unit)
+    val parts = raw.listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("TAXYR="))
+    assert(parts.length >= 2, s"expected >=2 TAXYR partitions, got ${parts.mkString(",")}")
+    // the curated core derives from the raw table without re-parsing XML
+    val core = Core238.build(rawDf.drop("TAXYR"))
+    assert(core.count() == 7)
+    assert(core.select("EIN").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().forall(_.startsWith("3")))
+  }
+
   test("Refresh.incrementalParquet ingests only new files across runs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-refresh").toFile
     val landing = new java.io.File(tmp, "landing"); landing.mkdirs()
