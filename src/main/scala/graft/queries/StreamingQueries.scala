@@ -33,9 +33,15 @@ object StreamingQueries {
     val bulk = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .unionByName(flushRow(spark, -1L, "2100-01-01 00:00:00"))
-    StreamStage.run(spark, name, s"/tmp/graft_stream_stage/$name", bulk,
+    // all three streaming queries stage the same events bulk: share
+    // one staged input per sf dir, keyed by the source file's mtime so
+    // regenerated testdata re-stages
+    val src = new java.io.File(dir, "events.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    StreamStage.run(spark, name,
+      s"/tmp/graft_stream_stage/${new java.io.File(dir).getName}", bulk,
       Seq(flushRow(spark, -2L, "2100-02-01 00:00:00")),
-      shufflePartitions = Some(8))(transform)
+      shufflePartitions = Some(8), reuseKey = Some(key))(transform)
   }
 
   def defs: Seq[QueryDef] = Seq(

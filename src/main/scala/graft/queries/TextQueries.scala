@@ -265,6 +265,33 @@ object TextQueries {
             .otherwise(lit(0.0)).as("rep_ratio"))
     },
 
+    // ---- Corpus term statistics: top-k terms per language ---------------
+    // The tokenizer-training / corpus-profiling stat. Plan: map-side
+    // partial counts → one shuffle on (lang, term) → WindowGroupLimit
+    // pushes the top-k bound below the sort, so map tasks ship at most
+    // k rows per group — never a full per-language sort at 100 TB.
+    QueryDef.sql(
+      "t8_top_terms",
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+        |  FROM cnt)
+        |SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+      cnt.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("term"), col("n"), col("rank").cast("int").as("rank"))
+    },
+
     // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
     QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
