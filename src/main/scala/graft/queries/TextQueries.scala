@@ -292,6 +292,36 @@ object TextQueries {
         .select(col("lang"), col("term"), col("n"), col("rank").cast("int").as("rank"))
     },
 
+    // ---- Near-dup clustering: pairs → connected components --------------
+    // Completes the dedup pipeline: pairwise near-dups (the blocked
+    // Jaccard join) become clusters via hash-min label propagation
+    // (operators.DupComponents); component = min doc_id. The oracle
+    // recomputes the same fixpoint with a recursive CTE.
+    QueryDef.sql(
+      "d6_dup_components",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.7),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, root) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id)
+        |SELECT id AS doc_id, min(root) AS component
+        |FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+      val pairs = graft.operators.JaccardJoin.pairs(Tables.documents(s, d),
+        idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.7)
+      graft.operators.DupComponents.components(s, pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    },
+
     // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
     QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
