@@ -13,26 +13,35 @@ import org.apache.spark.sql.functions._
   * near-dup clusters are dense (families of variants), so this
   * converges in 2–4 rounds in practice; `maxIters` bounds pathological
   * chains. This is the standard Pregel-style shape: per-round work is
-  * one shuffle join + one min-aggregate, all data-parallel; only the
-  * LOOP and its convergence test (a scalar aggregate) run on the
-  * driver, like any iterative fixpoint (k-means, PageRank).
+  * one join + one min-aggregate, all data-parallel; only the LOOP and
+  * its convergence test (a scalar aggregate) run on the driver, like
+  * any iterative fixpoint (k-means, PageRank).
   *
-  * Each round's state is `localCheckpoint`ed: iterative DataFrame
-  * algorithms MUST truncate lineage, or the logical plan nests one
-  * level per round and planning/explain costs grow exponentially
-  * (observed: OOM building the AQE plan string by round 8). On a
-  * cluster with an HDFS checkpoint dir, `checkpoint` gives the same
-  * truncation plus fault tolerance.
+  * Physical shape:
+  *  - Round 1 is FUSED into a plain aggregate — when label(id) = id
+  *    the propagation join is the identity, so the first (densest)
+  *    round is `min(src) GROUP BY dst` over the edges, no join.
+  *  - Later rounds join edges ⋈ labels. The label table has one row
+  *    per NODE while the edge table has one per edge — on dedup graphs
+  *    nodes ≪ edges (duplicate families are near-cliques: the probe
+  *    corpus has 2.6M directed edges over 4,149 nodes) — so when the
+  *    node count (measured once) is below `broadcastNodeLimit` the
+  *    label side is broadcast and the edges NEVER shuffle: partial
+  *    min-aggregation runs map-side and ships ≤ nodes rows per task.
+  *    Above the limit it degrades to the plain shuffle join — the
+  *    correct posture for a billion-node graph, where you'd switch to
+  *    large-star/small-star contraction (same round structure).
+  *  - Each round's state is `localCheckpoint`ed: iterative DataFrame
+  *    algorithms MUST truncate lineage, or the plan nests one level
+  *    per round and planning/explain costs grow exponentially
+  *    (observed: OOM building the AQE plan string by round 8). On a
+  *    cluster with an HDFS checkpoint dir, `checkpoint` gives the
+  *    same truncation plus fault tolerance.
   *
   * Convergence test: hash-min labels only ever DECREASE, so the label
   * sum strictly decreases every non-converged round — one scalar
   * aggregate over the new state replaces a join against the previous
   * state.
-  *
-  * 100 TB posture: state per round is one (node, label) table — no
-  * collected adjacency, no per-component materialization. For graphs
-  * with billion-edge scale you would switch to the large-star/
-  * small-star contraction variant; the round structure is identical.
   */
 object DupComponents {
 
@@ -40,24 +49,37 @@ object DupComponents {
     * label is the minimum node id in the component.
     */
   def components(spark: SparkSession, pairs: DataFrame,
-                 maxIters: Int = 20): DataFrame = {
-    // Eager localCheckpoint: materializes once and truncates lineage so
-    // every round's plan is O(1) regardless of iteration count.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+                 maxIters: Int = 20,
+                 broadcastNodeLimit: Long = 4000000L): DataFrame = {
+    // Eager localCheckpoint: materializes the (possibly expensive)
+    // upstream pair plan ONCE — a union of two pair scans would execute
+    // it twice — and truncates lineage so every round's plan is O(1)
+    // regardless of iteration count. The bidirectional edge view is a
+    // cheap transform over the checkpointed blocks.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    p.unpersist(blocking = false)
+    // Fused round 1: comp0(id) = id makes the propagation join the
+    // identity, so the first round is a bare aggregate over the edges.
+    // Every node appears as dst (edges are bidirectional).
+    var comp = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp"))
       .localCheckpoint(true)
+    val nodes = comp.count()
+    val hint: DataFrame => DataFrame =
+      if (nodes <= broadcastNodeLimit) broadcast else identity
     // Decimal sum: ids are longs and ANSI mode throws on long overflow.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(comp)
     var converged = prevSum == null // empty graph: nothing to propagate
-    var iters = 0
+    var iters = 1
     while (!converged && iters < maxIters) {
       val next = edges
-        .join(comp.withColumnRenamed("id", "src"), "src")
+        .join(hint(comp.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), col("comp"))
         .union(comp)
         .groupBy("id").agg(min("comp").as("comp"))
