@@ -322,6 +322,174 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     },
 
+    // ---- Dedup APPLY: keep one doc per near-dup component ---------------
+    // The consuming end of d6: documents not in any near-dup pair pass
+    // through; in each component only the minimum doc_id survives.
+    // Threshold 0.8 = "drop only confident duplicates". The component
+    // table has one row per node that appears in any pair — usually a
+    // small fraction of the corpus — so AQE broadcasts the keeper join.
+    QueryDef.sql(
+      "c3_dedup_apply",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, root) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id, min(root) AS c FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+        |WHERE comp.c IS NULL OR comp.c = d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.JaccardJoin.pairs(docs,
+        idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.8)
+      val comp = graft.operators.DupComponents.components(s, pairs)
+      docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("comp").isNull || col("comp") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // ---- Sequence packing: concat-and-chunk into token-budget bins ------
+    // The LLM-training step after curation: lay the corpus out in a
+    // deterministic order (md5 of doc_id — reproducible on any cluster
+    // layout) and assign each document the training-sequence bin where
+    // its global token offset starts (budget 4096).
+    // Scale shape: the global prefix sum is TWO-PHASE — a running sum
+    // inside each of 256 md5-prefix shards (parallel windows) plus a
+    // 256-row shard-offset table joined back by broadcast. No global
+    // single-partition window ever runs; the oracle's flat window is
+    // associativity-equivalent over exact integers.
+    QueryDef.sql(
+      "c4_sequence_pack",
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n
+        |      AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(floor(tok_start / 4096.0) AS BIGINT) AS seq_bin,
+        |  tok_start
+        |FROM c""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096
+      val t = Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(col("doc_id").cast("string")).as("k"),
+          tokenCount(col("text")).cast("long").as("n"))
+        .withColumn("shard", substring(col("k"), 1, 2))
+      val wLocal = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      val local = t.withColumn("lcum", sum(col("n")).over(wLocal))
+      val wShard = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("shard")).agg(sum(col("n")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(wShard), lit(0L)))
+        .select(col("shard"), col("off"))
+      local.join(broadcast(offsets), "shard")
+        .withColumn("tok_start", col("off") + col("lcum") - col("n"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          floor(col("tok_start") / lit(4096.0)).cast("bigint").as("seq_bin"),
+          col("tok_start"))
+    },
+
+    // ---- Weighted source mixing (deterministic down-sampling) -----------
+    // Training-mix construction: keep each document with a per-source
+    // rate, decided by comparing a cross-engine uniform hash (first two
+    // md5 hex chars, 256 buckets) against the rate threshold — fully
+    // deterministic, restartable, no rand(). Evaluates in the scan
+    // stage; no shuffle.
+    QueryDef.sql(
+      "c5_weighted_mix",
+      """SELECT doc_id, source, lang
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN source = 'src0' THEN 'zz'
+        |       WHEN source IN ('src1','src2','src3','src4') THEN '80'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40'
+        |       ELSE '1a' END""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val thr = when(col("source") === "src0", "zz")
+        .when(col("source").isin("src1", "src2", "src3", "src4"), "80")
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), "40")
+        .otherwise("1a")
+      Tables.documents(s, d).filter(h < thr)
+        .select(col("doc_id"), col("source"), col("lang"))
+    },
+
+    // ---- BM25 keyword ranking -------------------------------------------
+    // Top-20 documents for a fixed keyword query under BM25
+    // (k1=1.2, b=0.75). Corpus stats (N, total tokens) ride along as a
+    // broadcast 1-row table; df per query term is a broadcast join; the
+    // per-term partial scores are summed in a FIXED order (one
+    // conditional single-element sum per term) so the double result is
+    // bit-identical across engines; final top-k is TakeOrdered — never
+    // a global sort.
+    QueryDef.sql(
+      "t9_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) AS tot FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('spark', 'join', 'hash') GROUP BY doc_id, term),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln(1.0 + (s.n_docs - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+        |    * ((CAST(t.tf AS DOUBLE) * 2.2) /
+        |       (CAST(t.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (s.tot / s.n_docs))))) AS sterm
+        |  FROM tf t JOIN dfr f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id,
+        |  round(coalesce(sum(CASE WHEN term = 'spark' THEN sterm END), 0.0)
+        |  + coalesce(sum(CASE WHEN term = 'join' THEN sterm END), 0.0)
+        |  + coalesce(sum(CASE WHEN term = 'hash' THEN sterm END), 0.0), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val qterms = Seq("spark", "join", "hash")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).cast("double").as("tot"))
+      val tf = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val sterm = log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / (col("tot") / col("n_docs"))))))
+      val perTerm = tf.join(broadcast(dfr), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), sterm.as("sterm"))
+      def part(t: String) =
+        coalesce(sum(when(col("term") === t, col("sterm"))), lit(0.0))
+      // round(., 6): ln() may differ by 1 ulp between Java's Math.log
+      // and DuckDB's libm — everything else is bit-identical by op
+      // order, so 6 decimals is far beyond the divergence.
+      perTerm.groupBy("doc_id")
+        .agg(round(part("spark") + part("join") + part("hash"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
     // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
     QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
