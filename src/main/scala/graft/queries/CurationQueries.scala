@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup/mixing: deterministic train/val/test splitting,
+  * deterministic global shuffle, token-window chunking, PII scrubbing,
+  * and lexical-diversity profiling. All hash-based determinism uses
+  * md5 (cross-engine: identical hex in Spark and DuckDB), never
+  * rand() — every op is reproducible on any cluster layout and
+  * restartable mid-job.
+  */
+object CurationQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deterministic train/val/test split ----------------------------
+    // Split assignment by a KEYED hash (doc_id + source), not by
+    // position or rand(): a document keeps its split when the corpus is
+    // re-sharded, re-ordered, or incrementally extended — the property
+    // training pipelines need so eval sets never bleed into train
+    // between runs. Thresholds compare the first two md5 hex chars
+    // (256 uniform buckets): < 'cc' (204) ≈ 80% train, < 'e6' (230)
+    // ≈ 10% val, rest test. Pure scan-stage projection — no shuffle.
+    QueryDef.sql(
+      "c6_split_assign",
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin) { (s, d) =>
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 2)
+      Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+    },
+
+    // ---- deterministic global shuffle (training-order permutation) ------
+    // Assign every document its position in a pseudo-random but fully
+    // reproducible global order (ORDER BY md5(doc_id)). Scale shape:
+    // the global row_number is TWO-PHASE — a per-shard row_number over
+    // 256 md5-prefix shards (parallel windows; the shard is a prefix of
+    // the sort key, so shard-major order IS the global order) plus a
+    // 256-row shard-offset table joined back by broadcast. No
+    // single-partition window ever runs; same trick as c4's prefix sum.
+    QueryDef.sql(
+      "c7_shuffle_order",
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d).select(
+          col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+        .withColumn("shard", substring(col("k"), 1, 2))
+      val wLocal = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      val local = t.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      val wShard = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wShard), lit(0L)))
+        .select(col("shard"), col("off"))
+      local.join(broadcast(offsets), "shard")
+        .select(col("doc_id"), (col("off") + col("lrn")).as("shuffle_pos"))
+    },
+
+    // ---- token-window chunking (context-length preprocessing) -----------
+    // Split each document into 32-token windows with stride 24 (8-token
+    // overlap) — the standard fixed-context chunking step before
+    // tokenized training or embedding indexing. One posexplode over a
+    // per-row computed start list; everything else is per-row slice
+    // algebra in the scan stage. Output grows ~n_tokens/stride per doc,
+    // never quadratic.
+    QueryDef.sql(
+      "c8_chunk_documents",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t)+1, 24)) AS s
+        |  FROM toks WHERE len(t) >= 1)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 24 AS INT) AS chunk_id,
+        |  CAST(len(t[s:s+31]) AS INT) AS n_chunk_tokens,
+        |  array_to_string(t[s:s+31], ' ') AS chunk_text
+        |FROM st""".stripMargin) { (s, d) =>
+      val window = 32
+      val stride = 24
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 1)
+      staged
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(stride))).as("s"))
+        .select(
+          col("doc_id"),
+          ((col("s") - 1) / stride).cast("int").as("chunk_id"),
+          size(slice(col("t"), col("s"), lit(window))).cast("int").as("n_chunk_tokens"),
+          array_join(slice(col("t"), col("s"), lit(window)), " ").as("chunk_text"))
+    },
+
+    // ---- PII scrub (redaction before training) ---------------------------
+    // Regex redaction over semi-structured event payloads: emails and
+    // digit runs are replaced with typed placeholders, and per-row match
+    // counts are kept for audit. Patterns stay in the RE2 ∩ Java-regex
+    // common subset so Spark and DuckDB agree byte-for-byte. Pure
+    // scan-stage string algebra — no shuffle, fully codegen'd.
+    QueryDef.sql(
+      "t10_pii_scrub",
+      """SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_redacted,
+        |  CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_num_runs
+        |FROM events""".stripMargin) { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_replace(regexp_replace(col("props"), email, "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("props_redacted"),
+        size(expr(s"regexp_extract_all(props, '$email', 0)")).cast("int").as("n_emails"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("int").as("n_num_runs"))
+    },
+
+    // ---- lexical diversity (type-token ratio + hapax count) --------------
+    // Quality signal complementing t2/t7: vocabulary richness per
+    // document. Shaped for scale: one explode → one (doc_id, term)
+    // partial-aggregated shuffle → one doc_id aggregate, instead of the
+    // per-row O(n_tokens²) nested-loop a naive array formulation costs.
+    QueryDef.sql(
+      "t11_lexical_diversity",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+        |FROM tf GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("ttr"))
+    }
+  )
+}

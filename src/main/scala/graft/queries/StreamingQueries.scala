@@ -86,6 +86,23 @@ object StreamingQueries {
       }.filter(col("user_id") >= 0) // sink-side: keep flush users out of the plan
     },
 
+    // Streaming deduplication — state-store dropDuplicates. The output
+    // (one row per distinct key) is a SET, so it equals the batch
+    // DISTINCT regardless of arrival order — exactly the property that
+    // makes streaming dedup safe to re-run from a checkpoint. State is
+    // one entry per key (bounded by key cardinality, not stream
+    // length); when keys can recur beyond a known horizon,
+    // dropDuplicatesWithinWatermark is the state-evicting variant.
+    QueryDef.sql(
+      "ev5s_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+      staged(s, d, "ev5s_out")(src =>
+        src.withWatermark("ts", "400 days")
+          .dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))
+        .filter(col("user_id") >= 0) // sink-side: keep flush rows out of the plan
+    },
+
     // Stream-stream interval join — streaming twin of ev4
     QueryDef.sql(
       "ev4s_error_window_join_stream",

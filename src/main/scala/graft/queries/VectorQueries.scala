@@ -83,6 +83,47 @@ object VectorQueries {
           (acc, v) => acc + v) / count(lit(1))).as("dim_mean"))
     },
 
+    // ---- k-NN join (top-k neighbors for EVERY row, label-blocked) --------
+    // The batch companion to v2 (which ranks a small query set against
+    // the corpus): every vector gets its 3 nearest same-label
+    // neighbors. Scale shape: the join is blocked on label so no
+    // cross-block pairs materialize, norms are computed once per row
+    // before the join, and the top-k filter is a rank window on the
+    // pair stream — WindowGroupLimit bounds what map tasks ship. At
+    // corpus scale the label comes from a coarse quantizer (v5's IVF
+    // cells); the plan shape is identical.
+    QueryDef.sql(
+      "v6_knn_join",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label AS label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*b.emb[i])), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*a.emb[i])), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])), (x,y) -> x+y))) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, label, rnk, cosine FROM (
+        |  SELECT *, rank() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM pairs) WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", VectorOps.l2Norm(col("emb")))
+      val a = e.select(col("vec_id").as("query_id"), col("label"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = e.select(col("vec_id").as("neighbor_id"), col("label").as("lbl_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      a.join(b, col("label") === col("lbl_b") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("label"),
+          VectorOps.cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cosine"))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("label"), col("rnk"), col("cosine"))
+    },
+
     // ---- embedding near-dup pairs (cosine >= tau, label-blocked) ---------
     QueryDef.sql(
       "d5_embedding_neardup",
