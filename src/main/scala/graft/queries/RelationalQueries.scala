@@ -355,11 +355,21 @@ object RelationalQueries {
       "j2_explode_child_table",
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem") { (s, d) =>
       val nestedDir = s"/tmp/graft_j2_nested/${new java.io.File(d).getName}"
-      Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(
-          struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("items"))
-        .write.mode("overwrite").parquet(nestedDir)
+      // stage once per source version (same marker trick as StreamStage):
+      // the measured/compared plan is the nested-source explode itself,
+      // not the corpus-prep write
+      val src = new java.io.File(d, "lineitem.parquet")
+      val marker = java.nio.file.Paths.get(nestedDir, "_STAGED_OK")
+      val key = s"$d:${src.lastModified}:${src.length}"
+      if (!(java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker) == key)) {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(
+            struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("items"))
+          .write.mode("overwrite").parquet(nestedDir)
+        java.nio.file.Files.writeString(marker, key)
+      }
       s.read.parquet(nestedDir)
         .select(col("l_orderkey"), explode(col("items")).as("item"))
         .select(col("l_orderkey"), col("item.l_linenumber"), col("item.l_quantity"), col("item.l_extendedprice"))
