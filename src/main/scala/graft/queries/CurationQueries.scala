@@ -124,6 +124,41 @@ object CurationQueries {
         size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("int").as("n_num_runs"))
     },
 
+    // ---- quality-model inference (logistic classifier, zero UDF) --------
+    // The learned-filter step of a curation pipeline (CCNet/fastText
+    // style): score = sigmoid(w·x + b) over per-document features,
+    // expressed entirely as codegen'd Column algebra — model weights
+    // are literals in the plan, so classifier inference runs inside
+    // whole-stage codegen over the scan at 100 TB with no UDF, no
+    // Python, no model server. z is bit-exact cross-engine (fixed op
+    // order); exp() may differ by 1 ulp between libm and Math.exp, so
+    // the score is rounded to 6 decimals (same discipline as t9's ln).
+    QueryDef.sql(
+      "t12_quality_model",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, -1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl AS z FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+        |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+        |FROM z""".stripMargin) { (s, d) =>
+      val nt = graft.functions.TextFunctions.tokenCount(col("text")).cast("double")
+      val atl = length(regexp_replace(col("text"), " ", "")).cast("double") / nt
+      val sw = size(filter(split(col("text"), " "), w => w.isin("the", "a"))).cast("double") / nt
+      val z = lit(-1.5) + lit(0.02) * nt + lit(0.8) * sw - lit(0.1) * atl
+      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(score, 6).as("quality_score"),
+        (score >= 0.5).as("keep"))
+    },
+
     // ---- lexical diversity (type-token ratio + hapax count) --------------
     // Quality signal complementing t2/t7: vocabulary richness per
     // document. Shaped for scale: one explode → one (doc_id, term)
