@@ -459,6 +459,39 @@ object RelationalQueries {
         .unpivot(Array(col("o_orderkey")), "metric", "val")
     },
 
+    // ---- U7: schema-evolution read (mergeSchema across snapshots) -------
+    // The multi-era scan: two parquet snapshots written with different
+    // schemas (an old one without `source`) read as ONE table with
+    // `mergeSchema` — missing columns surface as typed nulls, exactly
+    // how the 990 engine treats era-absent xpaths. Snapshots are
+    // staged once per source version (marker-keyed, as j2); the
+    // measured plan is the merged scan itself. At 100 TB this is the
+    // footer-merge path: schema reconciliation is metadata work, the
+    // data is never rewritten.
+    QueryDef.sql(
+      "u7_merge_schema",
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1""".stripMargin) { (s, d) =>
+      val stageDir = s"/tmp/graft_u7_snapshots/${new java.io.File(d).getName}"
+      val src = new java.io.File(d, "documents.parquet")
+      val marker = java.nio.file.Paths.get(stageDir, "_STAGED_OK")
+      val key = s"$d:${src.lastModified}:${src.length}"
+      if (!(java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker) == key)) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$stageDir/v1")
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$stageDir/v2")
+        java.nio.file.Files.writeString(marker, key)
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$stageDir/v1", s"$stageDir/v2")
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // ---- A9: pivot to wide format (crosstab as columns) -----------------
     QueryDef.sql(
       "a9_pivot",
@@ -542,6 +575,31 @@ object RelationalQueries {
         lag(col("value"), 1).over(w).as("prev_value"),
         lead(col("value"), 1).over(w).as("next_value"),
         ntile(4).over(w).cast("int").as("quartile"))
+    },
+
+    // ---- W4: time-RANGE window frame (rolling last-hour aggregate) -------
+    // RANGE frames bound by a time delta, not a row count — the "value
+    // in the trailing hour" ops metric. Ordering key is epoch
+    // milliseconds as BIGINT (unix_millis / epoch_ms agree exactly;
+    // epoch() would be a DOUBLE with sub-ms fractions and fragile
+    // boundary comparisons). One shuffle on the partition key; the
+    // frame is evaluated by a sliding aggregate over each partition —
+    // linear, never quadratic in rows-per-user.
+    QueryDef.sql(
+      "w4_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("sum_last_hour"))
     },
 
     // ---- Streaming-shaped batch: tumbling-window agg ----------------------
