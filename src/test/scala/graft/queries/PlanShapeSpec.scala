@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Pins the physical-plan shapes PLANS.md claims — the properties that
+  * matter at 100 TB, asserted on the real registered queries so a
+  * regression (a lost pushdown, a broadcast that became a shuffle, a
+  * top-k that became a global sort) fails the suite instead of only
+  * showing up in a bench sample.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("p1: isin filter is pushed to the parquet scan") {
+    val p = plan("p1_filter_isin")
+    assert(p.contains("In(l_returnflag") && p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+  }
+
+  test("q5: dimension sides join by broadcast, not shuffle") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c2: stratified sample bounds map output with WindowGroupLimit") {
+    val p = plan("c2_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("GlobalLimit 50"), p) // per-stratum, not global
+  }
+
+  test("v6: kNN join has partial+final WindowGroupLimit around one exchange") {
+    val p = plan("v6_knn_join")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("t9: BM25 top-k is TakeOrdered, never a global sort") {
+    val p = plan("t9_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort [score"), p)
+  }
+
+  test("c6/t10/t12: scan-stage ops plan with zero exchange") {
+    Seq("c6_split_assign", "t10_pii_scrub", "t12_quality_model").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+    }
+  }
+}
