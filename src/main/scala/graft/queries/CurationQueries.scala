@@ -159,6 +159,57 @@ object CurationQueries {
         (score >= 0.5).as("keep"))
     },
 
+    // ---- unigram LM scoring (pseudo-perplexity quality filter) ----------
+    // The LM-based curation signal: score each document by its average
+    // token log-probability under a unigram model estimated from the
+    // corpus itself, and report pseudo-perplexity exp(-avg_logp).
+    // Two-pass shape: corpus term frequencies (one partial-agg
+    // shuffle) become a per-term logp table joined back by BROADCAST —
+    // a unigram vocabulary fits executor memory even for web-scale
+    // corpora (fall back to a shuffle join only past that). Numerics:
+    // per-term logp rounds to 8 decimals (ln is the one 1-ulp risk),
+    // the per-doc sum folds over SORTED values (v4's trick — exact
+    // under any partitioning), and ppl rounds to 6 to absorb exp's ulp.
+    QueryDef.sql(
+      "t13_unigram_logprob",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cf),
+        |lp AS (SELECT term, round(ln(CAST(c AS DOUBLE) / total), 8) AS logp
+        |       FROM cf CROSS JOIN tot),
+        |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |       GROUP BY doc_id, term),
+        |ds AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(CAST(d.tf AS DOUBLE) * l.logp))), (a,b) -> a+b) AS sum_logp
+        |  FROM dt d JOIN lp l USING (term) GROUP BY d.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  sum_logp / CAST(n_tokens AS DOUBLE) AS avg_logp,
+        |  round(exp(-(sum_logp / CAST(n_tokens AS DOUBLE))), 6) AS ppl
+        |FROM ds""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      val cf = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = cf.agg(sum(col("c")).cast("double").as("total"))
+      val lp = cf.crossJoin(broadcast(tot))
+        .select(col("term"), round(log(col("c").cast("double") / col("total")), 8).as("logp"))
+      val dt = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val avg = col("sum_logp") / col("n_tokens").cast("double")
+      dt.join(broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          aggregate(sort_array(collect_list(col("tf").cast("double") * col("logp"))),
+            lit(0.0), (a, v) => a + v).as("sum_logp"))
+        .select(col("doc_id"), col("n_tokens"),
+          avg.as("avg_logp"),
+          round(exp(-avg), 6).as("ppl"))
+    },
+
     // ---- lexical diversity (type-token ratio + hapax count) --------------
     // Quality signal complementing t2/t7: vocabulary richness per
     // document. Shaped for scale: one explode → one (doc_id, term)
