@@ -235,6 +235,61 @@ object CurationQueries {
         count(lit(1)).as("n_types"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
         (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("ttr"))
+    },
+
+    // ---- length-bucketed batch planning (padding-efficiency audit) -------
+    // Batching step for fixed-shape training kernels: docs are bucketed
+    // to the next power-of-two token length, each 4096-token batch holds
+    // floor(4096/bucket) docs, and the padding fraction quantifies wasted
+    // compute per bucket. The bucket ladder is integer CASE algebra (no
+    // log2 — float-free, so both engines agree exactly); everything
+    // downstream is integer math off ONE partial-aggregated groupBy.
+    QueryDef.sql(
+      "c9_length_buckets",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64
+        |         WHEN n_tokens <= 128 THEN 128
+        |         WHEN n_tokens <= 256 THEN 256
+        |         ELSE 512 END AS bucket
+        |  FROM t),
+        |g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM b GROUP BY bucket)
+        |SELECT CAST(bucket AS INT) AS bucket, n_docs,
+        |  CAST(4096 // bucket AS BIGINT) AS docs_per_batch,
+        |  CAST((n_docs + (4096 // bucket) - 1) // (4096 // bucket) AS BIGINT) AS n_batches,
+        |  total_tokens,
+        |  round(1.0 - CAST(total_tokens AS DOUBLE)
+        |        / (CAST((n_docs + (4096 // bucket) - 1) // (4096 // bucket) AS DOUBLE) * 4096.0), 6)
+        |    AS pad_frac
+        |FROM g""".stripMargin) { (s, d) =>
+      val cap = 4096L
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val bucket = when(col("n_tokens") <= 32, 32L)
+        .when(col("n_tokens") <= 64, 64L)
+        .when(col("n_tokens") <= 128, 128L)
+        .when(col("n_tokens") <= 256, 256L)
+        .otherwise(512L)
+      val g = t.withColumn("bucket", bucket)
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+      val dpb = expr(s"$cap DIV bucket")
+      val nBatches = expr(s"(n_docs + ($cap DIV bucket) - 1) DIV ($cap DIV bucket)")
+      g.select(
+        col("bucket").cast("int").as("bucket"), col("n_docs"),
+        dpb.as("docs_per_batch"),
+        nBatches.as("n_batches"),
+        col("total_tokens"),
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          (nBatches.cast("double") * lit(4096.0)), 6).as("pad_frac"))
     }
   )
 }

@@ -732,6 +732,39 @@ object RelationalQueries {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // ---- fuzzy join (blocked edit-distance record linkage) -----------------
+    // The classic entity-resolution join: match near-identical names
+    // (typos, pluralization) without an all-pairs compare. Scale shape:
+    // candidates are blocked on an equi-key (brand) AND a length band
+    // (|len(a)-len(b)| <= d is a necessary condition for edit distance
+    // <= d), so the Levenshtein — the expensive part — only runs on
+    // block-bounded pairs and the join itself is a hash join on the
+    // block key, never a nested loop over the corpus. At 100 TB the
+    // block key comes from a coarser signature (sorted-neighborhood
+    // prefix or q-gram buckets); the plan shape is identical.
+    // Levenshtein (unit-cost insert/delete/substitute) is bit-identical
+    // between Spark and DuckDB, so the oracle is exact.
+    QueryDef.sql(
+      "j5_fuzzy_join",
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"),
+        col("p_name").as("name_b"))
+      a.join(b, col("brand_a") === col("brand_b") && col("key_a") < col("key_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("int").as("edit_dist"))
+        .filter(col("edit_dist") <= 2)
     }
   )
 }

@@ -500,6 +500,51 @@ object TextQueries {
     // ---- SimHash near-dup (64-bit, banded hamming) — not SQL-expressible
     QueryDef.rowsOnly("d4_simhash") { (s, d) =>
       graft.operators.SimHash.signatures(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // ---- TF-IDF top terms per document -----------------------------------
+    // Per-document keyword extraction: score = tf * ln((1+N)/(1+df)),
+    // top 3 terms per doc. Scale shape: term stats flow through ONE
+    // partial-aggregated (doc,term) shuffle; the df table (vocabulary-
+    // sized) and the 1-row corpus count broadcast back onto it; the
+    // top-k is a row_number window partitioned by doc_id, so
+    // WindowGroupLimit bounds what map tasks ship to <= k rows per doc.
+    // Ranking compares the ROUNDED score (round 6 absorbs the 1-ulp
+    // ln() divergence between JVM and libm) with the term as a total
+    // tie-break, so both engines rank identically.
+    QueryDef.sql(
+      "t14_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    round(CAST(t.tf AS DOUBLE)
+        |          * ln((1.0 + n.n_docs) / (1.0 + CAST(f.df AS DOUBLE))), 6) AS score
+        |  FROM tf t JOIN dfr f USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, CAST(rnk AS INT) AS rnk, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, term) AS rnk
+        |  FROM sc) WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfr), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf").cast("double") *
+            log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df").cast("double"))), 6)
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("rnk").cast("int").as("rnk"), col("score"))
     }
   )
 }

@@ -153,6 +153,56 @@ object VectorQueries {
         .select(col("id_a"), col("id_b"),
           VectorOps.cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cosine"))
         .filter(col("cosine") >= 0.4)
+    },
+
+    // ---- int8 scalar quantization (embedding compression for ANN) --------
+    // The standard 4×-compression step before serving/indexing vectors
+    // at scale: per-dimension global [min,max] → codes in 0..255 →
+    // reconstruction error audit. Scale shape: the per-dim ranges are a
+    // 64-row aggregate broadcast back onto the long-form stream (one
+    // explode, one partial-agg shuffle for ranges, one for the per-row
+    // rollup); the quantize/dequantize math is pure codegen'd Column
+    // algebra. code_sum bit-checks the integer codes; mse is an exact
+    // decimal sum of identically-ordered double ops (floor, not
+    // round(), so no half-even ambiguity; x*x, not pow()).
+    QueryDef.sql(
+      "v7_quantize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |lf AS (SELECT vec_id, unnest(range(1, len(emb)+1)) AS dim, unnest(emb) AS val FROM e),
+        |mm AS (SELECT dim, min(val) AS minv, max(val) AS maxv FROM lf GROUP BY dim),
+        |q AS (
+        |  SELECT vec_id, val, minv, maxv,
+        |    CASE WHEN maxv > minv
+        |         THEN CAST(floor((val - minv) / (maxv - minv) * 255.0 + 0.5) AS INT)
+        |         ELSE 0 END AS code
+        |  FROM lf JOIN mm USING (dim)),
+        |r AS (
+        |  SELECT vec_id, code,
+        |    (minv + CAST(code AS DOUBLE) / 255.0 * (maxv - minv) - val)
+        |    * (minv + CAST(code AS DOUBLE) / 255.0 * (maxv - minv) - val) AS err
+        |  FROM q)
+        |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+        |  CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS code_sum,
+        |  round(CAST(sum(CAST(err AS DECIMAL(38,30))) AS DOUBLE) / count(*), 12) AS mse
+        |FROM r GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val lf = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(VectorOps.toDouble(col("embedding")))
+          .as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"), col("val"))
+      val mm = lf.groupBy("dim").agg(min(col("val")).as("minv"), max(col("val")).as("maxv"))
+      val code = when(col("maxv") > col("minv"),
+        floor((col("val") - col("minv")) / (col("maxv") - col("minv")) * lit(255.0) + lit(0.5))
+          .cast("int")).otherwise(0)
+      val deq = col("minv") + col("code").cast("double") / lit(255.0) *
+        (col("maxv") - col("minv"))
+      lf.join(broadcast(mm), "dim")
+        .withColumn("code", code)
+        .withColumn("err", (deq - col("val")) * (deq - col("val")))
+        .groupBy("vec_id").agg(
+          count(lit(1)).cast("int").as("n_dims"),
+          sum(col("code").cast("long")).as("code_sum"),
+          round(sum(col("err").cast(DecimalType(38, 30))).cast("double") / count(lit(1)), 12)
+            .as("mse"))
     }
   )
 }

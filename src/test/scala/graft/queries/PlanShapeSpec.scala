@@ -46,4 +46,22 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
     }
   }
+
+  test("j5: fuzzy join blocks on an equi-key hash join, never a nested loop") {
+    val p = plan("j5_fuzzy_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("t14: TF-IDF top-k bounds map output with WindowGroupLimit; df broadcasts") {
+    val p = plan("t14_tfidf")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("v7: quantization ranges broadcast back onto the long-form stream") {
+    val p = plan("v7_quantize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
