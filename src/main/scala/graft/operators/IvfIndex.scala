@@ -156,4 +156,31 @@ object IvfIndex {
     pairs.withColumn("rnk", rank().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs: every vector is
+    * assigned to its nearest IVF cell (driver-side k-means model — one
+    * literal node, assignment is a pure projection) and pairs with
+    * cosine >= tau are emitted only WITHIN cells, so the pair space is
+    * cell-bounded, never corpus². Emitted pairs are exact-cosine
+    * verified (zero false positives); pairs straddling a cell boundary
+    * are missed — recall is quantified in IvfIndexSpec. At 100 TB the
+    * cell id is the partition key: each task sees one cell's vectors.
+    */
+  def semanticNearDup(corpus: DataFrame, tau: Double,
+                      numCells: Int = 16, iters: Int = 2): DataFrame = {
+    val emb = embOf(corpus)
+    val model = fit(emb, numCells, iters)
+    val cells = emb.select(
+        nearestExpr(col("emb"), model).as("cell"),
+        col("vec_id"), col("emb"))
+      .withColumn("nrm", VectorOps.l2Norm(col("emb")))
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        VectorOps.cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
 }

@@ -155,6 +155,17 @@ object VectorQueries {
         .filter(col("cosine") >= 0.4)
     },
 
+    // ---- semantic dedup (SemDeDup: IVF-cell-blocked near-dup pairs) ------
+    // Unlike d5 (blocked on a given label), the blocking key here is
+    // LEARNED: k-means cells from the embeddings themselves — the shape
+    // that works when no natural block column exists. Approximate
+    // (cross-cell pairs missed; recall spec in IvfIndexSpec), found
+    // pairs exact-cosine verified.
+    QueryDef.rowsOnly("d9_semantic_dedup") { (s, d) =>
+      graft.operators.IvfIndex.semanticNearDup(
+        Tables.embeddings(s, d), tau = 0.4, numCells = 16)
+    },
+
     // ---- int8 scalar quantization (embedding compression for ANN) --------
     // The standard 4×-compression step before serving/indexing vectors
     // at scale: per-dimension global [min,max] → codes in 0..255 →

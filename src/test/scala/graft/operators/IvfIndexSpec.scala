@@ -42,4 +42,21 @@ class IvfIndexSpec extends SparkSpec {
     val recall = VectorFixtures.recall(exact, approx)
     assert(recall >= 0.8, s"IVF recall@5 = $recall")
   }
+
+  test("semanticNearDup: zero false positives, recall >= 0.8 vs exact pairs") {
+    val emb = VectorFixtures.clustered.toDF("vec_id", "embedding", "label")
+    val e = emb.select($"vec_id", VectorOps.toDouble($"embedding").as("emb"))
+    val a = e.select($"vec_id".as("id_a"), $"emb".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"emb".as("emb_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", VectorOps.cosine($"emb_a", $"emb_b").as("cos"))
+      .filter($"cos" >= 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val found = IvfIndex.semanticNearDup(emb, tau = 0.9, numCells = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact), s"false positives: ${found.diff(exact).take(5)}")
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.8, s"semantic dedup recall = $recall")
+  }
 }
