@@ -802,6 +802,98 @@ object RelationalQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
     },
 
+    // ---- CDC merge / upsert (MERGE INTO semantics in batch) ----------------
+    // The standard change-data-capture apply: a deterministic changes
+    // table (deletes, updates, inserts derived from the key space) is
+    // merged into the base — op 'D' drops the row, 'U' overwrites the
+    // payload, 'I' adds a new key. Scale shape: ONE full-outer hash
+    // join on the primary key (at a lakehouse this is the
+    // copy-on-write MERGE plan; merge-on-read would defer this join to
+    // scan time); the changes side is usually small → broadcast under
+    // AQE. Price math goes through decimal so the update is bit-exact.
+    QueryDef.sql(
+      "u8_merge_upsert",
+      """WITH chg AS (
+        |  SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 97 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 2)
+        |SELECT
+        |  coalesce(b.o_orderkey, c.k) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' OR c.op = 'I' THEN c.new_price ELSE b.o_totalprice END
+        |    AS o_totalprice,
+        |  CASE WHEN c.op IS NULL THEN 'base'
+        |       WHEN c.op = 'U' THEN 'updated' ELSE 'inserted' END AS merge_src
+        |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val chg = base.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(null).cast("double").as("new_price"))
+        .unionAll(base.filter(col("o_orderkey") % 97 === 1)
+          .select(col("o_orderkey").as("k"), lit("U").as("op"),
+            (col("o_totalprice").cast(DecimalType(18, 4)) *
+              lit(BigDecimal("1.1")).cast(DecimalType(3, 1))).cast("double").as("new_price")))
+        .unionAll(base.filter(col("o_orderkey") % 97 === 2)
+          .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+            col("o_totalprice").as("new_price")))
+      base.join(chg, col("o_orderkey") === col("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("op") === "U" || col("op") === "I", col("new_price"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("op").isNull, "base")
+            .when(col("op") === "U", "updated").otherwise("inserted").as("merge_src"))
+    },
+
+    // ---- data-quality check suite (constraint audit) -----------------------
+    // The validation pass every production pipeline runs before
+    // publishing: referential integrity (anti joins — broadcast when
+    // the parent side is small), primary-key uniqueness (count>1
+    // aggregate), domain-range and non-null checks (scan-stage
+    // filters). One row per check; n_violations = 0 means the
+    // constraint holds. Each check is an independent bounded job —
+    // at 100 TB they share the scans via cache or run as one
+    // multi-aggregate pass.
+    QueryDef.sql(
+      "a11_dq_checks",
+      """SELECT 'orders_custkey_fk' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT)
+        |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_price_positive', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_totalprice <= 0.0
+        |UNION ALL
+        |SELECT 'customer_name_nonnull', CAST(count(*) AS BIGINT)
+        |FROM customer WHERE c_name IS NULL""".stripMargin) { (s, d) =>
+      def check(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_violations")).select(lit(name).as("check_name"),
+          col("n_violations"))
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      check("orders_custkey_fk",
+          orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"), "left_anti"))
+        .unionAll(check("lineitem_orderkey_fk",
+          Tables.lineitem(s, d).join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionAll(check("orders_pk_unique",
+          orders.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)))
+        .unionAll(check("orders_price_positive", orders.filter(col("o_totalprice") <= 0.0)))
+        .unionAll(check("customer_name_nonnull", customer.filter(col("c_name").isNull)))
+    },
+
     // ---- fuzzy join (blocked edit-distance record linkage) -----------------
     // The classic entity-resolution join: match near-identical names
     // (typos, pluralization) without an all-pairs compare. Scale shape:
