@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SortedOverlap}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session so they are callable from SQL and
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getCanonicalName, "graft_overlap"),
+      (children: Seq[Expression]) => SortedOverlap(children.head, children(1))))
   }
 }
