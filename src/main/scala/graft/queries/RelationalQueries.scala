@@ -802,6 +802,49 @@ object RelationalQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
     },
 
+    // ---- equal-width histogram (distribution profiling) --------------------
+    // Binning for numeric profiling: 20 equal-width bins over the
+    // global [min,max]. The range is a 1-row aggregate broadcast onto
+    // the scan; bin math is identical-op-order double arithmetic so
+    // both engines agree on every boundary; least(...,19) folds x=max
+    // into the top bin. One partial+final count aggregate.
+    QueryDef.sql(
+      "a13_histogram",
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19.0) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events CROSS JOIN mm
+        |GROUP BY bin""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      ev.crossJoin(broadcast(mm))
+        .select(least(floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(20.0))), lit(19.0)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- event transition matrix (next-event analysis) ---------------------
+    // Markov-style path analytics: count (event_type → next event_type)
+    // transitions per user stream. One user-keyed shuffle for the lead
+    // window, then a partial+final count aggregate over the 5×5 matrix.
+    QueryDef.sql(
+      "ev8_transitions",
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    },
+
     // ---- CDC merge / upsert (MERGE INTO semantics in batch) ----------------
     // The standard change-data-capture apply: a deterministic changes
     // table (deletes, updates, inserts derived from the key space) is

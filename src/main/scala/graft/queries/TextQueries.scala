@@ -547,6 +547,55 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("rnk").cast("int").as("rnk"), col("score"))
     },
 
+    // ---- vocabulary construction (term → id by frequency rank) ------------
+    // The tokenizer-prep step: every term gets a dense id ordered by
+    // corpus frequency (ties by term). Term counts flow through one
+    // partial-aggregated shuffle; the ranking window runs over the
+    // VOCABULARY (bounded, ≪ corpus — the standard regime); for
+    // >10M-term vocabs the c7 shard-offset trick applies unchanged.
+    QueryDef.sql(
+      "t15_vocab_build",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term)
+        |SELECT term,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS token_id,
+        |  freq
+        |FROM tf""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      tf.select(col("term"),
+        row_number().over(Window.orderBy(col("freq").desc, col("term")))
+          .cast("int").as("token_id"),
+        col("freq"))
+    },
+
+    // ---- bigram counts (n-gram LM statistics) ------------------------------
+    // The n>1 companion to t13's unigram stats: adjacent-token pair
+    // counts, top 20. One Generate (~1 bigram per token, linear), one
+    // partial-agg shuffle, TakeOrdered report.
+    QueryDef.sql(
+      "t16_bigram_counts",
+      """WITH tok AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |st AS (
+        |  SELECT t, unnest(range(1, len(t))) AS i FROM tok WHERE len(t) >= 2)
+        |SELECT concat(t[i], ' ', t[i+1]) AS bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM st GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(split(lower(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    },
+
     // ---- duplicated text spans (substring-dedup map side) -----------------
     // Cross-document repeated 16-token windows — the detection half of
     // substring-level dedup (the removal half needs per-doc span
