@@ -157,6 +157,100 @@ object IvfIndex {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
   }
 
+  /** All-subspace Lloyd fit: like [[fit]], but every iteration is ONE
+    * map-only job over the corpus that refines all `m` subspace
+    * codebooks at once (per-partition partials keyed by (subspace,
+    * cell)) — m× fewer corpus passes than fitting each subspace
+    * separately, the difference between 2 and 16 scans of a 100 TB
+    * table. Seeds are the first k rows' subvectors (same as the
+    * per-subspace fit would pick), so results are identical.
+    */
+  private def fitPQ(emb: DataFrame, m: Int, sub: Int, k: Int,
+                    iters: Int): Seq[Model] = {
+    val seeds = emb.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    var models: Array[Model] = Array.tabulate(m) { s =>
+      seeds.map { case (id, v) => (id, v.slice(s * sub, (s + 1) * sub)) }
+    }
+    (0 until iters).foreach { _ =>
+      val assignCols = (0 until m).map { s =>
+        nearestExpr(slice(col("emb"), s * sub + 1, sub), models(s)).as(s"c$s")
+      }
+      val partials = emb.select(assignCols :+ col("emb"): _*)
+        .queryExecution.toRdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, Long), (Array[Double], Long)]
+          it.foreach { r =>
+            val v = r.getArray(m).toDoubleArray()
+            var s = 0
+            while (s < m) {
+              val key = (s, r.getLong(s))
+              val slice = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+              acc.get(key) match {
+                case Some((sum, c)) =>
+                  var i = 0; while (i < sub) { sum(i) += slice(i); i += 1 }
+                  acc(key) = (sum, c + 1)
+                case None => acc(key) = (slice, 1L)
+              }
+              s += 1
+            }
+          }
+          acc.iterator.map { case ((s, cid), (sum, c)) => (s, cid, sum, c) }
+        }.collect()
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Long), (Array[Double], Long)]
+      partials.foreach { case (s, cid, v, c) =>
+        sums.get((s, cid)) match {
+          case Some((s0, c0)) =>
+            var i = 0; while (i < sub) { s0(i) += v(i); i += 1 }
+            sums((s, cid)) = (s0, c0 + c)
+          case None => sums((s, cid)) = (v, c)
+        }
+      }
+      models = Array.tabulate(m) { s =>
+        val next = sums.iterator.collect {
+          case ((`s`, cid), (sum, c)) => (cid, sum.map(_ / c))
+        }.toArray
+        val survivors = next.map(_._1).toSet
+        (next ++ models(s).filterNot(e => survivors(e._1))).sortBy(_._1)
+      }
+    }
+    models.toSeq
+  }
+
+  /** Product quantization (the IVF-PQ compression standard): vectors
+    * split into `m` contiguous subvectors; each subspace learns a
+    * `k`-centroid codebook with the same driver-side Lloyd fit as the
+    * IVF index (m map-only jobs; every codebook ships as one typedlit
+    * literal). Each vector is then coded as m small ids —
+    * m·log2(k) bits per vector, 16× smaller than int8 scalar
+    * quantization at m=8, k=16 over 64 dims — and the per-row squared
+    * reconstruction error is audited in the same projection
+    * (`array_min(distStructs)` yields BOTH the nearest code and its
+    * squared distance, which IS the subspace reconstruction error).
+    * Codes are renumbered 0..k-1 (the fit's native ids are seed row
+    * ids). Assignment is a pure scan-stage projection — no shuffle
+    * anywhere after the fit.
+    */
+  def productQuantize(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                      iters: Int = 2): DataFrame = {
+    val emb = embOf(corpus)
+    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val models: Seq[Model] = fitPQ(emb, m, sub, k, iters).map { fitted =>
+      // compact, deterministic code space (fit keeps cid-sorted order)
+      fitted.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toArray
+    }
+    val nearest = (0 until m).map { s =>
+      array_min(distStructs(slice(col("emb"), s * sub + 1, sub), models(s))).as(s"m$s")
+    }
+    val staged = emb.select(col("vec_id") +: nearest: _*)
+    val codes = (0 until m).map(s => col(s"m$s").getField("cid").cast("int").as(s"code_$s"))
+    val reconMse = (0 until m).map(s => col(s"m$s").getField("d")).reduce(_ + _) / lit(dim.toDouble)
+    staged.select((col("vec_id") +: codes) :+ reconMse.as("recon_mse"): _*)
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: every vector is
     * assigned to its nearest IVF cell (driver-side k-means model — one
     * literal node, assignment is a pure projection) and pairs with

@@ -166,6 +166,17 @@ object VectorQueries {
         Tables.embeddings(s, d), tau = 0.4, numCells = 16)
     },
 
+    // ---- product quantization (IVF-PQ codebook compression) --------------
+    // The 16×-beyond-scalar compression step: m=8 subspace codebooks
+    // (k=16 centroids each, driver-side Lloyd fit), codes + per-row
+    // reconstruction-error audit as one scan-stage projection.
+    // k-means is not SQL-expressible → rows-only; determinism and
+    // reconstruction-vs-global-mean bounds are pinned in IvfIndexSpec.
+    QueryDef.rowsOnly("v8_pq") { (s, d) =>
+      graft.operators.IvfIndex.productQuantize(
+        Tables.embeddings(s, d), m = 8, k = 16)
+    },
+
     // ---- int8 scalar quantization (embedding compression for ANN) --------
     // The standard 4×-compression step before serving/indexing vectors
     // at scale: per-dimension global [min,max] → codes in 0..255 →

@@ -59,4 +59,31 @@ class IvfIndexSpec extends SparkSpec {
     val recall = found.size.toDouble / exact.size
     assert(recall >= 0.8, s"semantic dedup recall = $recall")
   }
+
+  test("productQuantize: deterministic codes in [0,k), recon beats global mean") {
+    val emb = VectorFixtures.clustered.toDF("vec_id", "embedding", "label")
+    val m = 4
+    val k = 8
+    val r1 = IvfIndex.productQuantize(emb, m = m, k = k).orderBy("vec_id").collect()
+    val r2 = IvfIndex.productQuantize(emb, m = m, k = k).orderBy("vec_id").collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "non-deterministic")
+    assert(r1.length == 128)
+    (0 until m).foreach { s =>
+      val codes = r1.map(_.getInt(1 + s))
+      assert(codes.forall(c => c >= 0 && c < k), s"code_$s out of range")
+      assert(codes.distinct.length > 1, s"code_$s degenerate (single code)")
+    }
+    // reconstruction must beat the one-centroid baseline (global mean)
+    val e = emb.select(VectorOps.toDouble($"embedding").as("emb"))
+    val dim = 16
+    val mean = e.select(posexplode($"emb").as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg($"v").as("mu")).orderBy("pos")
+      .collect().map(_.getDouble(1))
+    val baseline = e.as[Seq[Double]].collect()
+      .map(v => v.zip(mean).map { case (x, mu) => (x - mu) * (x - mu) }.sum / dim)
+    val avgBaseline = baseline.sum / baseline.length
+    val avgRecon = r1.map(_.getDouble(1 + m)).sum / r1.length
+    assert(avgRecon < avgBaseline,
+      s"PQ recon $avgRecon should beat global-mean baseline $avgBaseline")
+  }
 }
