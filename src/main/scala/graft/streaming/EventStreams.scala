@@ -57,6 +57,18 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("err_id"))
   }
 
+  /** Stream-static enrichment join — the OTHER streaming join flavor
+    * (errorWindowJoin is stream-stream): each micro-batch hash-joins
+    * the event stream against a static dimension, broadcast when
+    * small. No watermark and NO streaming state at all — the static
+    * side is re-planned per micro-batch — which is why dimension
+    * enrichment should always be stream-to-static, never a
+    * stream-stream join that buffers the dimension as keyed state.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Open-session aggregate — the ONLY per-key state the streaming
     * sessionizer keeps. O(1) per user regardless of session length;
     * a hot key costs the same as a cold one (the 100 TB requirement —

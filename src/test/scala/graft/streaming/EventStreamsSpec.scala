@@ -40,6 +40,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(_._2 == "click"))
   }
 
+  test("stream-static enrichWithDim matches the batch join and keeps no state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(1), 2, "view", 2.0, "{}"),
+      Event(3, ts(2), 3, "click", 3.0, "{}"), // user 3 not in dim → dropped
+      Event(4, ts(3), 1, "purchase", 4.0, "{}"))
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+
+    val mem = MemoryStream[Event]
+    val q = enrichWithDim(mem.toDF(), dim, "user_id", "uid")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+
+    val streamed = spark.table("enrich_out")
+      .as[(Long, String)].collect().toSet
+    val batch = enrichWithDim(events.toDF(), dim, "user_id", "uid")
+      .select($"event_id", $"tier").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, "gold"), (2L, "basic"), (4L, "gold")))
+    // no stateful operator: the join buffers nothing between batches
+    assert(progress == null || progress.stateOperators.isEmpty)
+  }
+
   test("stream-stream errorWindowJoin matches the batch twin") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
