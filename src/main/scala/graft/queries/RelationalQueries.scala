@@ -811,15 +811,21 @@ object RelationalQueries {
     QueryDef.sql(
       "a13_histogram",
       """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-        |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19.0) AS INT) AS bin,
+        |SELECT CASE WHEN mx > mn
+        |            THEN CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19.0) AS INT)
+        |            ELSE 0 END AS bin,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events CROSS JOIN mm
         |GROUP BY bin""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      // mx == mn guard: a constant column would otherwise reach an
+      // ANSI-throwing CAST(NaN AS INT) in both engines
       ev.crossJoin(broadcast(mm))
-        .select(least(floor((col("value") - col("mn")) /
-            ((col("mx") - col("mn")) / lit(20.0))), lit(19.0)).cast("int").as("bin"))
+        .select(when(col("mx") > col("mn"),
+            least(floor((col("value") - col("mn")) /
+              ((col("mx") - col("mn")) / lit(20.0))), lit(19.0)).cast("int"))
+          .otherwise(0).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
     },
 

@@ -67,4 +67,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("d8: span report is TakeOrdered, never a global sort") {
+    val p = plan("d8_dup_spans")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a13: histogram range is a broadcast, bin+count stay one aggregate") {
+    val p = plan("a13_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("u8: CDC merge plans as a single equi join, no cartesian") {
+    val p = plan("u8_merge_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
