@@ -547,6 +547,78 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("rnk").cast("int").as("rnk"), col("score"))
     },
 
+    // ---- substring-dedup APPLY (remove all but the first occurrence) ------
+    // The removal half that pairs with d8's detection: every 16-token
+    // window repeated across >= 2 documents keeps only its globally
+    // first occurrence (ordered by doc_id, position); every other
+    // occurrence's token range is cut, and each document is rebuilt
+    // from its surviving tokens. Scale shape: spans travel as md5
+    // hashes; the first-occurrence choice is a WindowGroupLimit-shaped
+    // row_number per span hash; covered positions explode to at most
+    // 16 rows per duplicated occurrence; the rebuild is one anti join
+    // on (doc, pos) + an ordered per-doc fold (docs are bounded
+    // length, so the per-group collect is bounded). Output carries an
+    // md5 of the rebuilt text, not the text itself.
+    QueryDef.sql(
+      "d10_span_removal",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS s
+        |  FROM tok WHERE len(t) >= 16),
+        |sp AS (
+        |  SELECT doc_id, s, md5(array_to_string(t[s:s+15], ' ')) AS h FROM st),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (
+        |  SELECT sp.doc_id, sp.s,
+        |    row_number() OVER (PARTITION BY sp.h ORDER BY sp.doc_id, sp.s) AS rn
+        |  FROM sp JOIN dup USING (h)),
+        |marks AS (SELECT doc_id, s FROM occ WHERE rn > 1),
+        |cover AS (SELECT DISTINCT doc_id, unnest(range(s, s + 16)) AS pos FROM marks),
+        |alltok AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS w FROM tok),
+        |kept AS (
+        |  SELECT a.doc_id, a.pos, a.w
+        |  FROM alltok a LEFT JOIN cover c ON a.doc_id = c.doc_id AND a.pos = c.pos
+        |  WHERE c.pos IS NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS kept_md5
+        |FROM kept GROUP BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val span = 16
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      val sp = tok.filter(size(col("t")) >= span)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (span - 1))).as("s"))
+        .select(col("doc_id"), col("s"),
+          md5(array_join(slice(col("t"), col("s"), lit(span)), " ")).as("h"))
+      // "appears in >= 2 distinct docs" == min(doc) != max(doc) within
+      // the span-hash partition — rides the SAME window shuffle as the
+      // first-occurrence row_number, so sp is evaluated once and the
+      // dup-filter join disappears from the plan
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("s"))
+      val wAll = Window.partitionBy(col("h"))
+      val marks = sp
+        .withColumn("rn", row_number().over(w))
+        .withColumn("mind", min(col("doc_id")).over(wAll))
+        .withColumn("maxd", max(col("doc_id")).over(wAll))
+        .filter(col("mind") =!= col("maxd") && col("rn") > 1)
+        .select(col("doc_id"), col("s"))
+      val cover = marks
+        .select(col("doc_id"), explode(sequence(col("s"), col("s") + (span - 1))).as("pos"))
+        .distinct()
+      val alltok = tok
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      alltok.join(cover, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            e => e.getField("w")), " ")).as("kept_md5"))
+    },
+
     // ---- vocabulary construction (term → id by frequency rank) ------------
     // The tokenizer-prep step: every term gets a dense id ordered by
     // corpus frequency (ties by term). Term counts flow through one
