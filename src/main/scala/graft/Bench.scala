@@ -11,11 +11,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: parquet footers/file listing + one tiny job so
-    // the first measured query doesn't absorb session start-up costs
-    Tables.all.foreach { t =>
-      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
-    }
+    // untimed warmup (parquet footers + streaming engine) so the first
+    // measured query doesn't absorb session start-up costs
+    Warmup.run(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -16,10 +16,8 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: file listing + footers off the timed path
-    Tables.all.foreach { t =>
-      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
-    }
+    // warmup: file listing/footers + streaming engine off the timed path
+    Warmup.run(spark, sfDir)
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()
