@@ -54,6 +54,42 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
   }
 
+  /** Matryoshka two-stage retrieval: shortlist by cosine over the
+    * first `prefixDims` dimensions (MRL-style embeddings front-load
+    * information, so a truncated prefix is a usable coarse scorer),
+    * then exact full-dimension rerank of the per-query shortlist.
+    *
+    * Scale shape: the stage-1 pair scan touches `prefixDims/d` of the
+    * vector bytes (with dimension-major storage it reads 8 of 64
+    * columns); stage 2 reranks only `shortlist` rows per query. Both
+    * top-k bounds are rank windows (WindowGroupLimit ships ≤ k rows
+    * per query per map task). Exact arithmetic discipline as knnBrute
+    * — strict left folds — so an oracle can mirror both stages.
+    */
+  def matryoshkaSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                       shortlist: Int = 20, prefixDims: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_pre", slice(col("q_emb"), 1, prefixDims))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+      .withColumn("q_pnrm", l2Norm(col("q_pre")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_pre", slice(col("n_emb"), 1, prefixDims))
+      .withColumn("n_nrm", l2Norm(col("n_emb")))
+      .withColumn("n_pnrm", l2Norm(col("n_pre")))
+    val stage1 = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm"),
+        cosinePre(col("q_pre"), col("n_pre"), col("q_pnrm"), col("n_pnrm")).as("cosine_trunc"))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("cosine_trunc").desc, col("neighbor_id"))
+    val short = stage1.withColumn("srnk", rank().over(w1)).filter(col("srnk") <= shortlist)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .select(col("query_id"), col("neighbor_id"), col("cosine_trunc"),
+        cosinePre(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")).as("cosine"))
+      .withColumn("rnk", rank().over(w2)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"), col("cosine_trunc"))
+  }
+
   /** Deterministic random-hyperplane signature (`planes` rows of ±1
     * weights, seeded): bit p = [dot(plane_p, v) > 0].
     */

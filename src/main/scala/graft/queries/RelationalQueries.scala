@@ -616,6 +616,34 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     },
 
+    // ---- Streaming-shaped batch: hopping(sliding)-window agg --------------
+    // (Batch twin of EventStreams.hoppingRollup.) Every event lands in
+    // duration/slide = 2 overlapping windows — the alert/trend shape
+    // tumbling windows can't express (a spike straddling an hour
+    // boundary). Spark's window() generator expands rows BEFORE the
+    // partial aggregate, so the plan stays one partial+final shuffle;
+    // the oracle enumerates the same 30-minute-grid window starts with
+    // integer µs arithmetic (no float epoch).
+    QueryDef.sql(
+      "ev9_hopping_rollup",
+      """WITH x AS (
+        |  SELECT e.event_type, e.value,
+        |    make_timestamp((epoch_us(e.ts) // 1800000000 - i.i) * 1800000000)
+        |      AS win_start
+        |  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+        |SELECT win_start,
+        |  win_start + INTERVAL 1 HOUR AS win_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY win_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+
     // ---- Sessionization (batch twin of streaming flatMapGroupsWithState) --
     QueryDef.sql(
       "ev2_sessionize",
@@ -985,6 +1013,40 @@ object RelationalQueries {
           col("key_a") < col("key_b"))
         .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
           col("edit_dist").cast("int").as("edit_dist"))
+    },
+
+    // ---- A14: key-skew audit (the input to a salting decision) ----------
+    // Profiles the shuffle-key distribution BEFORE a big join/agg: per
+    // hot key its row count and corpus share, plus how many stripes a
+    // skew-salting pass (j4) would need to flatten it to the mean
+    // partition load. One partial-aggregated groupBy (hot keys
+    // pre-combine map-side) + a 1-row global aggregate broadcast onto
+    // the report; top-20 ships through TakeOrdered, never a full sort.
+    QueryDef.sql(
+      "a14_skew_audit",
+      """WITH k AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM k)
+        |SELECT k.user_id, k.n,
+        |  round(CAST(k.n AS DOUBLE) / CAST(g.total AS DOUBLE), 6) AS share,
+        |  CAST(ceil(CAST(k.n AS DOUBLE)
+        |    / (CAST(g.total AS DOUBLE) / CAST(g.n_keys AS DOUBLE))) AS BIGINT)
+        |    AS salt_stripes
+        |FROM k CROSS JOIN g
+        |ORDER BY k.n DESC, k.user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val k = Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val g = k.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+      k.crossJoin(broadcast(g))
+        .select(col("user_id"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("share"),
+          ceil(col("n").cast("double") /
+            (col("total").cast("double") / col("n_keys").cast("double")))
+            .cast("bigint").as("salt_stripes"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
     }
   )
 }

@@ -103,6 +103,51 @@ object StreamingQueries {
         .filter(col("user_id") >= 0) // sink-side: keep flush rows out of the plan
     },
 
+    // Hopping(sliding)-window rollup — streaming twin of ev9
+    QueryDef.sql(
+      "ev9s_hopping_rollup_stream",
+      """WITH x AS (
+        |  SELECT e.event_type, e.value,
+        |    make_timestamp((epoch_us(e.ts) // 1800000000 - i.i) * 1800000000)
+        |      AS win_start
+        |  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+        |SELECT win_start,
+        |  win_start + INTERVAL 1 HOUR AS win_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY win_start, event_type""".stripMargin) { (s, d) =>
+      staged(s, d, "ev9s_out")(src => EventStreams.hoppingRollup(src))
+        .filter(col("event_type") =!= FlushType)
+    },
+
+    // Stream-stream LEFT OUTER interval join — the emit-on-expiry
+    // semantic on top of ev4s: a click whose buffered state expires
+    // unmatched is released with a NULL err_id, which only the
+    // WATERMARK can authorize (no future error can still match). The
+    // flush rows must flow through BOTH sides' watermark nodes here —
+    // unlike the inner join, where matches emit eagerly and flushes
+    // only drive state cleanup — so each side's filter admits them and
+    // the sink drops the flush users.
+    QueryDef.sql(
+      "ev10s_left_outer_join_stream",
+      """WITH err AS (
+        |  SELECT user_id, event_id AS err_id, ts AS lo
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS click_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, e.err_id
+        |FROM clk c LEFT JOIN err e
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.lo AND c.ts < e.lo + INTERVAL 4 HOUR""".stripMargin) { (s, d) =>
+      staged(s, d, "ev10s_out")(src =>
+        EventStreams.errorWindowJoin(
+          src.filter(col("event_type") === "click" || col("event_type") === FlushType),
+          src.filter(col("event_type") === "error" || col("event_type") === FlushType),
+          windowMinutes = 240, joinType = "left_outer"))
+        .filter(col("user_id") >= 0)
+    },
+
     // Stream-stream interval join — streaming twin of ev4
     QueryDef.sql(
       "ev4s_error_window_join_stream",

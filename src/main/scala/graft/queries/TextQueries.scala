@@ -737,6 +737,119 @@ object TextQueries {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span_hash"))
         .limit(100)
+    },
+
+    // ---- containment join (quote / subset-document detection) -------------
+    // DIRECTIONAL set containment |A∩B|/|A| ≥ 0.95 — "A is mostly
+    // quoted inside B", the asymmetric companion to d2's Jaccard (a
+    // short doc embedded in a long one scores near 0 on Jaccard but
+    // 1.0 on containment). Physical strategy mirrors d2: this corpus's
+    // bounded vocabulary probes into the popcount bitmap path (the
+    // dense-output regime — containment over a small vocab is
+    // inherently block-quadratic in TRUE pairs); a web-scale corpus
+    // takes the rare-prefix path, where the prefix principle applies
+    // to the contained side only and the container side posts all its
+    // tokens (JaccardJoin.containmentPrefix). Both engines divide the
+    // same integers → bit-identical doubles.
+    QueryDef.sql(
+      "d11_containment_join",
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(a.toks) AS DOUBLE) AS containment
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(a.toks) AS DOUBLE) >= 0.95""".stripMargin) { (s, d) =>
+      graft.operators.JaccardJoin.containmentPairs(Tables.documents(s, d),
+        idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.95)
+    },
+
+    // ---- inverted index build (term → posting list) -----------------------
+    // The retrieval-side structure BM25 (t9) assumes: per term, its
+    // document frequency and a BOUNDED posting segment (first 100
+    // doc_ids — production indexes store postings in fixed-size blocks
+    // for exactly this reason). Scale shape: df is one partial-agg
+    // shuffle; the posting segment goes through a row_number window
+    // whose top-k bound pushes below the sort (WindowGroupLimit), so
+    // map tasks ship ≤ 100 rows per term — a full posting list for a
+    // stopword-like term never crosses the wire. Postings are emitted
+    // as a comma-joined string (stable cross-engine representation).
+    QueryDef.sql(
+      "t17_inverted_index",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS term
+        |  FROM documents),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term),
+        |top AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tok),
+        |seg AS (
+        |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS posting_head
+        |  FROM top WHERE rn <= 100 GROUP BY term)
+        |SELECT d.term, d.df, s.posting_head
+        |FROM df d JOIN seg s ON d.term = s.term""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+      val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val seg = tok.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .groupBy("term")
+        .agg(array_join(transform(sort_array(collect_list(struct(col("rn"), col("doc_id")))),
+          e => e.getField("doc_id").cast("string")), ",").as("posting_head"))
+      df.join(seg, "term").select(col("term"), col("df"), col("posting_head"))
+    },
+
+    // ---- tokenizer application (encode docs to token-id sequences) --------
+    // Consumes t15's vocabulary: every document becomes its sequence of
+    // dense token ids — the step between corpus curation and training.
+    // Scale shape: the vocab (bounded) is BROADCAST onto the exploded
+    // (doc_id, pos, term) stream, encoded rows ship back through one
+    // partial-agg shuffle keyed on doc_id, and order is restored from
+    // the carried position (sort_array over (pos, id) structs — no
+    // window). Ids are emitted space-joined (stable cross-engine).
+    QueryDef.sql(
+      "t18_tokenize_ids",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+        |vocab AS (
+        |  SELECT term,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS token_id
+        |  FROM tf),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term,
+        |    unnest(range(1, len(regexp_extract_all(lower(text), '\S+')) + 1)) AS pos
+        |  FROM documents)
+        |SELECT p.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY p.pos) AS token_ids
+        |FROM pairs p JOIN vocab v ON p.term = v.term
+        |GROUP BY p.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val vocab = tf.select(col("term"),
+        row_number().over(Window.orderBy(col("freq").desc, col("term")))
+          .cast("int").as("token_id"))
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")).as(Seq("p0", "term")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+      pairs.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          array_join(transform(sort_array(collect_list(struct(col("pos"), col("token_id")))),
+            e => e.getField("token_id").cast("string")), " ").as("token_ids"))
     }
   )
 }

@@ -54,6 +54,51 @@ object VectorQueries {
       VectorOps.annLsh(emb.filter(col("vec_id") < 50), emb, k = 5)
     },
 
+    // ---- Matryoshka two-stage retrieval (truncate → exact rerank) --------
+    // Coarse-score with the first 8 dimensions (1/8 of the vector
+    // bytes), keep a 20-deep shortlist per query, rerank that exactly
+    // at full dimension. Unlike v3/v5 this two-stage pipeline is fully
+    // deterministic — both stages are rank windows over strict-left-
+    // fold cosines — so the whole retrieval is ORACLE-CHECKED, not
+    // recall-bounded. Both engines fold the same order → identical
+    // doubles → identical shortlists → identical final ranking.
+    QueryDef.sql(
+      "v9_matryoshka",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    q.emb AS q_emb, n.emb AS n_emb,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 9), i -> q.emb[i]*n.emb[i])), (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, 9), i -> q.emb[i]*q.emb[i])), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, 9), i -> n.emb[i]*n.emb[i])), (a,b) -> a+b)))
+        |      AS cosine_trunc
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT *, rank() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_trunc DESC, neighbor_id) AS srnk
+        |    FROM pairs) WHERE srnk <= 20),
+        |rer AS (
+        |  SELECT query_id, neighbor_id, cosine_trunc,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(q_emb)+1), i -> q_emb[i]*n_emb[i])), (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(q_emb)+1), i -> q_emb[i]*q_emb[i])), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(n_emb)+1), i -> n_emb[i]*n_emb[i])), (a,b) -> a+b)))
+        |      AS cosine
+        |  FROM short)
+        |SELECT query_id, neighbor_id, rnk, cosine, cosine_trunc FROM (
+        |  SELECT *, rank() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM rer) WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      VectorOps.matryoshkaSearch(emb.filter(col("vec_id") < 10), emb,
+        k = 5, shortlist = 20, prefixDims = 8)
+    },
+
     // ---- IVF ANN: k-means cells + nprobe probing ------------------------
     QueryDef.rowsOnly("v5_ann_ivf") { (s, d) =>
       val emb = Tables.embeddings(s, d)

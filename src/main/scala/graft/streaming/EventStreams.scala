@@ -34,6 +34,22 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").as("hour_bucket"), col("event_type"), col("n"), col("total_value"))
 
+  /** Hopping(sliding)-window rollup — each event lands in
+    * duration/slide overlapping windows (window() is the built-in
+    * generator for exactly this). Same watermark/state posture as the
+    * tumbling hourlyRollup; state scales with the number of OPEN
+    * windows × event types, bounded by the watermark.
+    */
+  def hoppingRollup(events: DataFrame, duration: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Stream-stream interval join — the streaming twin of the batch
     * `ev4_range_join` (operators.RangeJoin): clicks that fall inside a
     * per-user window opened by each error event. Spark's stream-stream
@@ -42,9 +58,17 @@ object EventStreams {
     * `windowMinutes` + the watermark delay, then evicted — bounded
     * state at any rate. The same plan runs on batch frames (watermark
     * is a no-op there), which is how the spec twins it.
+    *
+    * `joinType = "left_outer"` adds the emit-on-expiry semantic: a
+    * click whose join state expires unmatched is released with a NULL
+    * err_id — which is why outer stream-stream joins REQUIRE the
+    * watermark (the engine must prove no future match can arrive
+    * before it may emit the NULL row). Inner emits matches eagerly;
+    * outer emission is watermark-driven by construction.
     */
   def errorWindowJoin(clicks: DataFrame, errors: DataFrame,
-                      windowMinutes: Int, watermark: String = "10 minutes"): DataFrame = {
+                      windowMinutes: Int, watermark: String = "10 minutes",
+                      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
     val e = errors.withWatermark("ts", watermark)
@@ -53,7 +77,8 @@ object EventStreams {
     c.join(e,
         col("user_id") === col("err_user") &&
           col("ts") >= col("err_ts") &&
-          col("ts") < col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+          col("ts") < col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("err_id"))
   }
 

@@ -55,6 +55,48 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("containment: directional, subset docs detected, both paths exact") {
+    val cdocs = Seq(
+      (1L, "en", "a b c d"),
+      (2L, "en", "a b c e"),   // cont(1→2)=cont(2→1)=0.75
+      (3L, "en", "a b"),       // cont(3→1)=cont(3→2)=1.0; reverse 0.5
+      (4L, "fr", "a b c d")    // other block — must not pair
+    ).toDF("doc_id", "lang", "text")
+    val expect = Set(
+      (1L, 2L, 0.75), (2L, 1L, 0.75),
+      (3L, 1L, 1.0), (3L, 2L, 1.0))
+    for (limit <- Seq(4096, 3)) {
+      val got = JaccardJoin.containmentPairs(cdocs, "doc_id", "lang", "text",
+          threshold = 0.75, vocabLimit = limit)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+      assert(got == expect, s"vocabLimit=$limit")
+    }
+  }
+
+  test("containment: both paths match brute force on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 50).map { i =>
+      val fam = i / 5
+      val words = (0 until 6 + rnd.nextInt(6)).map(_ => s"w${fam * 8 + rnd.nextInt(10)}")
+      (i.toLong, "en", words.mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "lang", "text")
+    def cont(a: String, b: String): Double = {
+      val (sa, sb) = (a.split(" ").toSet, b.split(" ").toSet)
+      sa.intersect(sb).size.toDouble / sa.size.toDouble
+    }
+    val expect = (for {
+      (ia, _, ta) <- corpus; (ib, _, tb) <- corpus
+      if ia != ib && cont(ta, tb) >= 0.8
+    } yield (ia, ib, cont(ta, tb))).toSet
+    for (limit <- Seq(4096, 3)) {
+      val got = JaccardJoin.containmentPairs(docs, "doc_id", "lang", "text", 0.8,
+          vocabLimit = limit)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+      assert(got == expect, s"vocabLimit=$limit")
+    }
+  }
+
   test("multi-word bitmap: vocab spanning >64 tokens still exact") {
     val wide = (0 until 3).map { i =>
       // 70-token docs over a 140-token vocabulary; doc 0 and 2 identical
