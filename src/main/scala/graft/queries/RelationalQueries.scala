@@ -1047,6 +1047,95 @@ object RelationalQueries {
             (col("total").cast("double") / col("n_keys").cast("double")))
             .cast("bigint").as("salt_stripes"))
         .orderBy(col("n").desc, col("user_id")).limit(20)
+    },
+
+    // ---- A15: z-score outlier detection (exact-moment anomaly flag) ------
+    // Per-segment mean/std from DECIMAL-EXACT first and second moments
+    // (sum and sum-of-squares are order-independent in decimal, so the
+    // moments are reproducible under any partitioning — the same
+    // discipline as every dsum in this file), then a broadcast of the
+    // tiny per-type stats row back onto the scan flags |z| > 3. The
+    // per-row double product v*v is IEEE-deterministic; only the final
+    // z is rounded (6 dp) to absorb sqrt's 1-ulp libm risk.
+    QueryDef.sql(
+      "a15_zscore_outliers",
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s1 / n)
+        |    / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs((e.value - s1 / n)
+        |    / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val st = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(30, 6))).cast("double").as("s2"))
+      val mean = col("s1") / col("n")
+      val z = (col("value") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+      Tables.events(s, d).join(broadcast(st), "event_type")
+        .filter(abs(z) > 3)
+        .select(col("event_id"), col("event_type"), col("value"), round(z, 6).as("z"))
+    },
+
+    // ---- W5: winsorization (percentile clipping before training) ---------
+    // Feature-prep: clip each segment's values into its [p05, p95] so
+    // heavy tails don't dominate a loss. Exact interpolated percentiles
+    // (a10's bit-exact `percentile` ≡ quantile_cont equivalence)
+    // computed once per segment, broadcast back onto the scan; the clip
+    // itself is pure scan-stage least/greatest algebra. Counts are
+    // integers (exact); the clipped sum goes through DECIMAL.
+    QueryDef.sql(
+      "w5_winsorize",
+      """WITH pct AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE e.value < lo) AS BIGINT) AS n_clipped_low,
+        |  CAST(count(*) FILTER (WHERE e.value > hi) AS BIGINT) AS n_clipped_high,
+        |  CAST(sum(CAST(least(greatest(e.value, lo), hi) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS clipped_sum
+        |FROM events e JOIN pct ON e.event_type = pct.event_type
+        |GROUP BY e.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val pct = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.05)).as("lo"),
+          percentile(col("value"), lit(0.95)).as("hi"))
+      Tables.events(s, d).join(broadcast(pct), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+          sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast(DecimalType(18, 6))).cast("double").as("clipped_sum"))
+    },
+
+    // ---- U9: latest record per key (CDC/upsert compaction) ---------------
+    // The read-side of every mutable-table-on-immutable-storage design:
+    // collapse an append-only event log to each key's most recent row.
+    // One rank window per key; the rn = 1 bound pushes below the sort
+    // (WindowGroupLimit), so map tasks ship one candidate row per key —
+    // at 100 TB this is the compaction job that keeps CDC tables
+    // queryable, and it never global-sorts.
+    QueryDef.sql(
+      "u9_latest_by_key",
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
     }
   )
 }
