@@ -46,6 +46,24 @@ object Warmup {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // stream-stream join state machinery loads its own classes
+      // (SymmetricHashJoinStateManager and friends) — boot those too
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_warmup_ckpt2")
+      val src = spark.readStream.schema(one.schema).parquet(dir.toString)
+      val l = src.withWatermark("ts", "1 hour")
+        .select(col("v").as("lv"), col("ts").as("lts"))
+      val r = src.withWatermark("ts", "1 hour")
+        .select(col("v").as("rv"), col("ts").as("rts"))
+      val q2 = l.join(r,
+          col("lv") === col("rv") && col("lts") >= col("rts") &&
+            col("lts") < col("rts") + org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE"),
+          "left_outer")
+        .writeStream.format("memory").queryName("graft_warmup_join")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
     } catch { case _: Throwable => () }
   }
 }

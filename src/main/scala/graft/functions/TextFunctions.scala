@@ -60,6 +60,24 @@ object TextFunctions {
         .otherwise(array(xxhash64(concat_ws(" ", toks)))))
   }
 
+  /** Logit of the t12 quality classifier: fixed CCNet-style linear
+    * model over (token count, avg token length, stopword ratio). Op
+    * order is pinned — an oracle mirrors it term by term.
+    */
+  def qualityLogit(text: Column): Column = {
+    val nt = tokenCount(text).cast("double")
+    val atl = length(regexp_replace(text, " ", "")).cast("double") / nt
+    val sw = size(filter(split(text, " "), w => w.isin("the", "a"))).cast("double") / nt
+    lit(-1.5) + lit(0.02) * nt + lit(0.8) * sw - lit(0.1) * atl
+  }
+
+  /** Sigmoid quality score rounded to 6 dp (absorbs exp's 1-ulp libm
+    * divergence; downstream ranking/thresholding must use THIS rounded
+    * value so both engines order ties identically).
+    */
+  def qualityScore6(text: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-qualityLogit(text))), 6)
+
   /** Polynomial rolling hash over the characters of a string:
     * `h = fold(0, (acc, ch) -> (acc*31 + codepoint(ch)) mod 1_000_000_007)`.
     * Order-sensitive document fingerprint (reference-style content

@@ -148,15 +148,109 @@ object CurationQueries {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
         |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
         |FROM z""".stripMargin) { (s, d) =>
-      val nt = graft.functions.TextFunctions.tokenCount(col("text")).cast("double")
-      val atl = length(regexp_replace(col("text"), " ", "")).cast("double") / nt
-      val sw = size(filter(split(col("text"), " "), w => w.isin("the", "a"))).cast("double") / nt
-      val z = lit(-1.5) + lit(0.02) * nt + lit(0.8) * sw - lit(0.1) * atl
-      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      val score = lit(1.0) / (lit(1.0) +
+        exp(-graft.functions.TextFunctions.qualityLogit(col("text"))))
       Tables.documents(s, d).select(
         col("doc_id"),
         round(score, 6).as("quality_score"),
         (score >= 0.5).as("keep"))
+    },
+
+    // ---- model evaluation: grouped ROC-AUC (midrank Mann–Whitney) -------
+    // Evaluates the t12 quality classifier against a pseudo-label
+    // (lang = 'en') per source — the distributed model-eval step after
+    // any learned-filter training. Exact midrank AUC: rank rows within
+    // each source by the ROUNDED score (the t9/t14 discipline — both
+    // engines order ties identically), replace ties with their average
+    // rank (a per-(source, score) window), then
+    // AUC = (Σ midrank⁺ − np(np+1)/2) / (np·nn). Midranks are exact
+    // halves, so their double sum is order-independent — deterministic
+    // under any partitioning. All windows are PARTITIONED by source
+    // (never global); at 100 TB each group ranks independently.
+    QueryDef.sql(
+      "t19_auc_by_source",
+      """WITH f AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source, (lang = 'en') AS pos,
+        |    round(1.0 / (1.0 + exp(-(-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl))), 6) AS score
+        |  FROM f),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn
+        |  FROM sc),
+        |mid AS (
+        |  SELECT *, avg(CAST(rn AS DOUBLE)) OVER (PARTITION BY source, score) AS midrank
+        |  FROM rn),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np,
+        |    CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS nn,
+        |    sum(CASE WHEN pos THEN midrank ELSE 0.0 END) AS srp
+        |  FROM mid GROUP BY source)
+        |SELECT source, np, nn,
+        |  round((srp - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1) / 2)
+        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+        |FROM agg WHERE np > 0 AND nn > 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), (col("lang") === "en").as("pos"),
+        graft.functions.TextFunctions.qualityScore6(col("text")).as("score"))
+      val wRank = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+      val wTies = Window.partitionBy(col("source"), col("score"))
+      val mid = sc.withColumn("rn", row_number().over(wRank))
+        .withColumn("midrank", avg(col("rn").cast("double")).over(wTies))
+      val np = col("np").cast("double")
+      mid.groupBy("source")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nn"),
+          sum(when(col("pos"), col("midrank")).otherwise(lit(0.0))).as("srp"))
+        .filter(col("np") > 0 && col("nn") > 0)
+        .select(col("source"), col("np"), col("nn"),
+          round((col("srp") - np * (np + 1) / 2) / (np * col("nn").cast("double")), 6)
+            .as("auc"))
+    },
+
+    // ---- model evaluation: calibration bins (reliability diagram) -------
+    // The companion diagnostic to t19: decile-binned predicted score vs
+    // observed positive rate. Bin ids are integer math off the ROUNDED
+    // score; the mean score per bin sums exactly in DECIMAL(18,6)
+    // (scores are 6-dp by construction). One partial-agg shuffle over
+    // ≤ 10 bins.
+    QueryDef.sql(
+      "t20_calibration",
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    round(1.0 / (1.0 + exp(-(-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl))), 6) AS score
+        |  FROM f)
+        |SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_score,
+        |  CAST(count(*) FILTER (WHERE pos) AS DOUBLE) / count(*) AS frac_pos
+        |FROM sc GROUP BY bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val sc = Tables.documents(s, d).select(
+        (col("lang") === "en").as("pos"),
+        graft.functions.TextFunctions.qualityScore6(col("text")).as("score"))
+      sc.groupBy(least(floor(col("score") * 10), lit(9)).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("score").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+            .as("mean_score"),
+          (sum(when(col("pos"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+            .as("frac_pos"))
     },
 
     // ---- unigram LM scoring (pseudo-perplexity quality filter) ----------

@@ -353,6 +353,49 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     },
 
+    // ---- PageRank centrality over the near-dup graph --------------------
+    // The canonical-representative signal (SemDeDup-style pipelines keep
+    // the most CENTRAL member of a duplicate family, not the min id):
+    // 5 power iterations over the same staged verified-pair graph d6/c3
+    // consume. Iterative FLOAT math is unverifiable across engines
+    // (order-dependent sums; round() semantics differ; iteration
+    // amplifies ulps) — so the recurrence is FIXED-POINT integer
+    // arithmetic in nano-units (operators.PageRank), which any engine
+    // reproduces exactly; the oracle unrolls the same five blocks with
+    // `//`. Per round: one join of the deg-weighted edges against the
+    // broadcast rank table + one partial-agg shuffle on destination;
+    // lineage is localCheckpoint-truncated like DupComponents.
+    {
+      val iterBlocks = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT dd.id,
+           |    CAST(150000000 + (CAST(coalesce(sc.total, 0) AS BIGINT) // 20) * 17 AS BIGINT)
+           |      AS rank_nano
+           |  FROM deg dd LEFT JOIN (
+           |    SELECT e.d AS id, sum(r.rank_nano // dg.deg) AS total
+           |    FROM e JOIN r${k - 1} r ON e.s = r.id JOIN deg dg ON dg.id = e.s
+           |    GROUP BY e.d) sc ON sc.id = dd.id)""".stripMargin
+      }.mkString(",\n")
+      QueryDef.sql(
+        "d7_pagerank",
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.7),
+           |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+           |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+           |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank_nano FROM deg),
+           |$iterBlocks
+           |SELECT id AS doc_id, rank_nano FROM r5""".stripMargin) { (s, d) =>
+        graft.operators.PageRank.ranks(s, stagedNearDupPairs(s, d), iters = 5)
+          .select(col("id").as("doc_id"), col("rank_nano"))
+      }
+    },
+
     // ---- Dedup APPLY: keep one doc per near-dup component ---------------
     // The consuming end of d6: documents not in any near-dup pair pass
     // through; in each component only the minimum doc_id survives.
