@@ -664,6 +664,40 @@ object RelationalQueries {
       graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
     },
 
+    // ---- Native session windows (the built-in gap-merge operator) --------
+    // ev2 sessionizes with CUSTOM state (flatMapGroupsWithState, floor-
+    // second gap rule); this is Spark's BUILT-IN session_window — gap
+    // merge at exact microsecond precision, batch and streaming from
+    // the same expression. New session iff ts ≥ last + 30 min (µs);
+    // session end = last event + gap by definition. The oracle mirrors
+    // both rules with integer-µs arithmetic.
+    QueryDef.sql(
+      "ev12_session_window",
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(col("user_id"), col("n_events"),
+          col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("total_value"))
+    },
+
     // ---- As-of join (training-pipeline/time-series operator) -----------
     // Spark plan: union + window (one shuffle, O(1) state per key);
     // oracle: DuckDB's native ASOF LEFT JOIN over the same pre-agg.
@@ -1116,6 +1150,70 @@ object RelationalQueries {
           sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
           sum(least(greatest(col("value"), col("lo")), col("hi"))
             .cast(DecimalType(18, 6))).cast("double").as("clipped_sum"))
+    },
+
+    // ---- U10: snapshot diff (corpus-version audit) ------------------------
+    // The data-diff between two table versions: added / removed /
+    // changed / unchanged per key, from ONE full-outer hash join on the
+    // primary key comparing content hashes — rows never ship their
+    // payload, only the 32-hex digest (at 100 TB the diff moves
+    // key+hash, not data). Snapshots are staged once per source version
+    // (marker-keyed, as u7/j2); the oracle recomputes both versions
+    // from the base table with the same deterministic edits.
+    QueryDef.sql(
+      "u10_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v1.h <> v2.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin) { (s, d) =>
+      val stageDir = s"/tmp/graft_u10_snapshots/${new java.io.File(d).getName}"
+      val src = new java.io.File(d, "documents.parquet")
+      val marker = java.nio.file.Paths.get(stageDir, "_STAGED_OK")
+      val key = s"$d:${src.lastModified}:${src.length}"
+      if (!(java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker) == key)) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .write.mode("overwrite").parquet(s"$stageDir/v1")
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h"))
+          .write.mode("overwrite").parquet(s"$stageDir/v2")
+        java.nio.file.Files.writeString(marker, key)
+      }
+      val v1 = s.read.parquet(s"$stageDir/v1").select(col("doc_id").as("id1"), col("h").as("h1"))
+      val v2 = s.read.parquet(s"$stageDir/v2").select(col("doc_id").as("id2"), col("h").as("h2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+          when(col("id2").isNull, "removed")
+            .when(col("id1").isNull, "added")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+    },
+
+    // ---- C10: deterministic reservoir sample (global k by keyed hash) ----
+    // A fixed-size corpus sample that is reproducible on any cluster
+    // layout AND stable under re-runs: global top-k by md5(key). The
+    // plan is TakeOrderedAndProject — each map task ships its local
+    // top-k, never a global sort. (c2 is the per-stratum variant.)
+    QueryDef.sql(
+      "c10_reservoir_sample",
+      """SELECT doc_id, source FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"))
     },
 
     // ---- U9: latest record per key (CDC/upsert compaction) ---------------

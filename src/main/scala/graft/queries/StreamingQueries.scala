@@ -148,6 +148,60 @@ object StreamingQueries {
         .filter(col("user_id") >= 0)
     },
 
+    // Built-in session_window under streaming state — the session-merge
+    // state store (sessions start per event, merge when they overlap),
+    // a THIRD stateful mechanism beside windowed agg (ev1s/ev9s) and
+    // flatMapGroupsWithState (ev2s). Same oracle as the batch twin
+    // ev12: exact-µs gap rule, session end = last event + gap.
+    QueryDef.sql(
+      "ev12s_session_window_stream",
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      staged(s, d, "ev12s_out")(src =>
+        src.withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("total_value"))
+          .select(col("user_id"), col("n_events"),
+            col("w.start").as("session_start"), col("w.end").as("session_end"),
+            col("total_value")))
+        .filter(col("user_id") >= 0)
+    },
+
+    // State-EVICTING streaming dedup — dropDuplicatesWithinWatermark.
+    // ev5s's dropDuplicates keeps one state entry per key FOREVER
+    // (right when keys never recur past a horizon is unknowable);
+    // this variant evicts a key's state once the watermark passes its
+    // event time + delay — the bounded-state posture for infinite
+    // streams whose duplicates arrive close together (retries, at-
+    // least-once upstreams). Here every duplicate arrives in the bulk
+    // batch, inside the horizon, so the emitted set equals batch
+    // DISTINCT exactly — which is what the oracle checks.
+    QueryDef.sql(
+      "ev11s_stream_dedup_within_wm",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+      staged(s, d, "ev11s_out")(src =>
+        src.withWatermark("ts", "400 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))
+        .filter(col("user_id") >= 0) // sink-side: keep flush rows out of the plan
+    },
+
     // Stream-stream interval join — streaming twin of ev4
     QueryDef.sql(
       "ev4s_error_window_join_stream",
