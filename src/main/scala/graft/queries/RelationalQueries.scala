@@ -1117,6 +1117,50 @@ object RelationalQueries {
         .select(col("event_id"), col("event_type"), col("value"), round(z, 6).as("z"))
     },
 
+    // ---- A16: grouped Pearson correlation (exact-moment) -----------------
+    // corr(document length, distinct-token count) per language — the
+    // length-vs-vocabulary curve every corpus profile reports. Inputs
+    // are INTEGERS, so all five moments accumulate exactly in DECIMAL
+    // (order-independent under any partitioning); the final correlation
+    // is a fixed-op-order double expression rounded to 6 (sqrt ulp).
+    // One partial-aggregated shuffle over ≤ #languages groups — the
+    // scale shape of every sufficient-statistics computation.
+    QueryDef.sql(
+      "a16_grouped_corr",
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS x,
+        |    CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM f GROUP BY lang)
+        |SELECT lang, n,
+        |  round((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_len_vocab
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val f = Tables.documents(s, d).select(col("lang"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("x"),
+        size(array_distinct(split(lower(col("text")), "\\s+"))).cast("long").as("y"))
+      val m = f.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
+      val n = col("n").cast("double")
+      m.select(col("lang"), col("n"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("corr_len_vocab"))
+    },
+
     // ---- W5: winsorization (percentile clipping before training) ---------
     // Feature-prep: clip each segment's values into its [p05, p95] so
     // heavy tails don't dominate a loss. Exact interpolated percentiles

@@ -23,7 +23,8 @@ object StreamingQueries {
       .toDF()
   }
 
-  private def staged(spark: SparkSession, dir: String, name: String)
+  private def staged(spark: SparkSession, dir: String, name: String,
+                     extraConfs: Map[String, String] = Map.empty)
                     (transform: DataFrame => DataFrame): DataFrame = {
     // flush 1 rides INSIDE the bulk batch (intra-batch data is never
     // late, and the watermark updates from the batch max) so it pushes
@@ -41,7 +42,8 @@ object StreamingQueries {
     StreamStage.run(spark, name,
       s"/tmp/graft_stream_stage/${new java.io.File(dir).getName}", bulk,
       Seq(flushRow(spark, -2L, "2100-02-01 00:00:00")),
-      shufflePartitions = Some(8), reuseKey = Some(key))(transform)
+      shufflePartitions = Some(8), reuseKey = Some(key),
+      extraConfs = extraConfs)(transform)
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -181,6 +183,26 @@ object StreamingQueries {
             col("w.start").as("session_start"), col("w.end").as("session_end"),
             col("total_value")))
         .filter(col("user_id") >= 0)
+    },
+
+    // transformWithState (arbitrary-state v2) — per-user running event
+    // counter with ONE long of typed ValueState per key, RocksDB-backed
+    // (the API requires the RocksDB provider; set per-run and
+    // restored). Rows are sorted by event time inside each micro-batch,
+    // so the emitted running_n equals the batch row_number — which is
+    // exactly what the oracle computes.
+    QueryDef.sql(
+      "ev13s_running_count_stream",
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |    AS running_n
+        |FROM events""".stripMargin) { (s, d) =>
+      staged(s, d, "ev13s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.runningCounts(src.as[EventStreams.Event]).toDF()
+      }.filter(col("user_id") >= 0)
     },
 
     // State-EVICTING streaming dedup — dropDuplicatesWithinWatermark.

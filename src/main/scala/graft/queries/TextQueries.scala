@@ -721,6 +721,63 @@ object TextQueries {
         col("freq"))
     },
 
+    // ---- Zipf fit of the term distribution (corpus health check) ----------
+    // Least-squares slope of ln(freq) on ln(rank) over the vocabulary —
+    // natural corpora run slope ≈ −1; a synthetic or heavily-duplicated
+    // corpus departs visibly. Numeric discipline for a closed-form
+    // regression: the ln() values (the one libm risk) are rounded to
+    // 8 dp per term, all five moments accumulate in DECIMAL (exact,
+    // order-independent), and the final slope/intercept divisions are
+    // straight-line double ops rounded to 6. The vocabulary ranking
+    // reuses t15's bounded-vocab window.
+    QueryDef.sql(
+      "t21_zipf_fit",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+        |rk AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM tf),
+        |xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 8) AS x,
+        |    round(ln(CAST(freq AS DOUBLE)), 8) AS y
+        |  FROM rk),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(20,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(20,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(24,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(24,10))) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    AS intercept
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val tf = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val rk = tf.select(col("freq"),
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))).as("rank"))
+      val xy = rk.select(
+        round(log(col("rank").cast("double")), 8).as("x"),
+        round(log(col("freq").cast("double")), 8).as("y"))
+      val m = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(20, 8))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(20, 8))).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(24, 10))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(24, 10))).cast("double").as("sxx"))
+      val n = col("n").cast("double")
+      val slope = (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx"))
+      m.select(col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
+    },
+
     // ---- bigram counts (n-gram LM statistics) ------------------------------
     // The n>1 companion to t13's unigram stats: adjacent-token pair
     // counts, top 20. One Generate (~1 bigram per token, linear), one

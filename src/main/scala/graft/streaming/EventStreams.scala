@@ -161,6 +161,41 @@ object EventStreams {
       }
   }
 
+  final case class RunningCount(user_id: Long, event_id: Long, running_n: Long)
+
+  /** Per-user running event counter on the transformWithState API
+    * (Spark 4's arbitrary-state v2: typed state handles, timers, TTL —
+    * the successor to flatMapGroupsWithState, RocksDB-backed). State is
+    * ONE long per user (the O(1)-per-key discipline of [[sessionize]]);
+    * per micro-batch the group's rows are sorted by event time so the
+    * emitted running_n equals the batch row_number regardless of
+    * arrival interleaving within the batch.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RunningCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[RunningCount] = {
+      var c = if (count.exists()) count.get() else 0L
+      val out = rows.toArray
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .map { e => c += 1; RunningCount(key, e.event_id, c) }
+      count.update(c)
+      out.iterator
+    }
+  }
+
+  def runningCounts(events: Dataset[Event]): Dataset[RunningCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OM.Append())
+  }
+
   /** Batch-mode twin of sessionize for oracle checking: same gap
     * semantics via a window-function plan (lag + cumulative session id)
     * — the standard scalable batch sessionization (one shuffle by user).

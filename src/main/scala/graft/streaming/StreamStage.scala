@@ -26,7 +26,8 @@ object StreamStage {
   def run(spark: SparkSession, name: String, stageDir: String,
           bulk: DataFrame, flushes: Seq[DataFrame],
           shufflePartitions: Option[Int] = None,
-          reuseKey: Option[String] = None)
+          reuseKey: Option[String] = None,
+          extraConfs: Map[String, String] = Map.empty)
          (transform: DataFrame => DataFrame): DataFrame = {
     val inDir = Paths.get(stageDir, "in")
     val marker = Paths.get(stageDir, "_STAGED_OK")
@@ -65,6 +66,10 @@ object StreamStage {
     // run sizes it to the key space instead)
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // per-run session confs (e.g. the RocksDB state store provider
+    // transformWithState requires), restored afterwards
+    val beforeExtra = extraConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = transform(src).writeStream
         .format("memory").queryName(name)
@@ -73,7 +78,13 @@ object StreamStage {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      beforeExtra.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
     spark.table(name)
   }
 
