@@ -54,4 +54,36 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         payload.map(p => col("__p").getField(p).as(p)): _*)
   }
+
+  /** FORWARD as-of: earliest right row at-or-after the left time —
+    * SQL `ASOF ... ON l.t <= r.t` (the "next scheduled event" lookup).
+    * Same union + one-window shape mirrored: the right tag sorts AFTER
+    * left at equal times (a right row at exactly t matches), the frame
+    * runs current → unbounded FOLLOWING, and `first(_, ignoreNulls)`
+    * picks the next payload struct.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTime: String,
+                  rightKey: String, rightTime: String,
+                  payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofForward needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains), "payload names must not collide with left columns")
+
+    val r = right.select(
+      col(rightKey).as(leftKey),
+      col(rightTime).as(leftTime),
+      struct(payload.map(col): _*).as("__p"),
+      lit(2).as("__src"))
+    val l = left.withColumn("__src", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(leftKey))
+      .orderBy(col(leftTime), col("__src"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned.withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
+  }
 }

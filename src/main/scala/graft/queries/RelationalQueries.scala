@@ -721,6 +721,32 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
     },
 
+    // ---- FORWARD as-of join (next event at-or-after) ---------------------
+    // The mirrored direction of ev3: each event looks up the NEXT order
+    // its user places (schedule/forecast lookups). Same union+window
+    // shape with the frame reversed; oracle is DuckDB's native ASOF
+    // with the <= inequality.
+    QueryDef.sql(
+      "ev14_asof_forward",
+      """WITH ord AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot,
+        |         MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY o_custkey, CAST(o_orderdate AS TIMESTAMP))
+        |SELECT e.event_id, e.user_id, o.last_orderkey AS next_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.ot""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.asofForward(ev, ord,
+          leftKey = "user_id", leftTime = "ts",
+          rightKey = "o_custkey", rightTime = "ot",
+          payload = Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("last_orderkey").as("next_orderkey"))
+    },
+
     // ---- Range (point-in-interval) join: clicks inside error windows ------
     // Spark plan: bucketized equi-join (operators.RangeJoin) — every
     // interval explodes to its covered fixed-width buckets, points map

@@ -907,6 +907,29 @@ object TextQueries {
       df.join(seg, "term").select(col("term"), col("df"), col("posting_head"))
     },
 
+    // ---- boolean AND search (posting-list intersection) -------------------
+    // The query side of t17's index: documents containing ALL of three
+    // terms. The plan is the INDEX shape — explode to (doc, term), keep
+    // only the queried terms (this is the posting-list fetch; the isin
+    // filter prunes in the scan stage), then one partial-agg shuffle
+    // counting distinct matched terms per doc. Equivalent to a 3-way
+    // posting intersection; never rescans full documents per term. The
+    // oracle states the same predicate declaratively (list_has_all).
+    QueryDef.sql(
+      "t22_boolean_search",
+      """SELECT doc_id FROM documents
+        |WHERE list_has_all(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |  ['table', 'query', 'merge'])""".stripMargin) { (s, d) =>
+      val terms = Seq("table", "query", "merge")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("nmatch"))
+        .filter(col("nmatch") === terms.length)
+        .select(col("doc_id"))
+    },
+
     // ---- tokenizer application (encode docs to token-id sequences) --------
     // Consumes t15's vocabulary: every document becomes its sequence of
     // dense token ids — the step between corpus curation and training.
