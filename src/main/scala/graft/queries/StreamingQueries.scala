@@ -205,6 +205,38 @@ object StreamingQueries {
       }.filter(col("user_id") >= 0)
     },
 
+    // transformWithState TIMERS — sessionization where idle sessions
+    // close via handleExpiredTimer when the event-time watermark
+    // passes last + gap (the v2 replacement for EventTimeTimeout).
+    // Same oracle as ev2/ev2s: the timer path must produce the exact
+    // same sessions as flatMapGroupsWithState's timeout path.
+    QueryDef.sql(
+      "ev15s_session_timers_stream",
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      staged(s, d, "ev15s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.sessionizeWithTimers(src.as[EventStreams.Event], gapMinutes = 30)
+          .select(col("user_id"), col("n_events"),
+            col("start").as("session_start"), col("end").as("session_end"),
+            col("total_value"))
+      }.filter(col("user_id") >= 0)
+    },
+
     // State-EVICTING streaming dedup — dropDuplicatesWithinWatermark.
     // ev5s's dropDuplicates keeps one state entry per key FOREVER
     // (right when keys never recur past a horizon is unknowable);

@@ -196,6 +196,83 @@ object EventStreams {
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OM.Append())
   }
 
+  /** Open session + its registered timer expiry (timers must be
+    * DELETED when a session extends, so the expiry travels in state).
+    */
+  final case class TimedSession(n: Long, start: java.sql.Timestamp,
+                                last: java.sql.Timestamp, sumCents: Long,
+                                timerMs: Long)
+
+  /** Gap sessionization on the transformWithState TIMER surface —
+    * same semantics as [[sessionize]] (floor-second gap rule, exact
+    * cents), but idle sessions close via `handleExpiredTimer` when the
+    * EVENT-TIME watermark passes last + gap (the v2 replacement for
+    * GroupStateTimeout.EventTimeTimeout). Each extension deletes the
+    * previous timer and registers the new expiry — state stays one
+    * aggregate + one timer per user.
+    */
+  class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState, ExpiredTimerInfo}
+    private val gapSec = gapMinutes * 60L
+    @transient private var open: ValueState[TimedSession] = _
+
+    private def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+    private def emit(userId: Long, s: TimedSession): Session =
+      Session(userId, s.n, s.start, s.last,
+        java.math.BigDecimal.valueOf(s.sumCents, 2).doubleValue)
+    private def epochSec(t: java.sql.Timestamp): Long = t.toInstant.getEpochSecond
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[TimedSession]("open",
+        org.apache.spark.sql.Encoders.product[TimedSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+      var cur: TimedSession = if (open.exists()) open.get() else null
+      if (cur != null) getHandle.deleteTimer(cur.timerMs)
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        cur = cur match {
+          case null => TimedSession(1L, e.ts, e.ts, cents(e.value), 0L)
+          case s if epochSec(e.ts) - epochSec(s.last) <= gapSec =>
+            TimedSession(s.n + 1, s.start, e.ts, s.sumCents + cents(e.value), 0L)
+          case s =>
+            closed += emit(key, s)
+            TimedSession(1L, e.ts, e.ts, cents(e.value), 0L)
+        }
+      }
+      if (cur != null) {
+        // +1s margin: the gap rule floors to seconds, the timer doesn't
+        val expiry = cur.last.getTime + gapSec * 1000L + 1000L
+        open.update(cur.copy(timerMs = expiry))
+        getHandle.registerTimer(expiry)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) return Iterator.empty
+      val s = open.get()
+      if (s.timerMs != info.getExpiryTimeInMs()) return Iterator.empty // stale timer
+      open.clear()
+      Iterator(emit(key, s))
+    }
+  }
+
+  def sessionizeWithTimers(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes), TimeMode.EventTime(), OM.Append())
+  }
+
   /** Batch-mode twin of sessionize for oracle checking: same gap
     * semantics via a window-function plan (lag + cumulative session id)
     * — the standard scalable batch sessionization (one shuffle by user).
