@@ -16,8 +16,10 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: file listing/footers + streaming engine off the timed path
-    Warmup.run(spark, sfDir)
+    // warmup: file listing/footers off the timed path; the streaming-
+    // engine warmup (~3 s) only when a streaming query is being timed
+    Warmup.run(spark, sfDir,
+      streaming = names.exists(_.matches("ev\\d+s_.*")))
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()

@@ -14,11 +14,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Warmup {
 
-  def run(spark: SparkSession, sfDir: String): Unit = {
+  def run(spark: SparkSession, sfDir: String, streaming: Boolean = true): Unit = {
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    streamingEngine(spark)
+    if (streaming) streamingEngine(spark)
   }
 
   /** One-row stateful streaming query over a FILE source — the exact
@@ -28,12 +28,15 @@ object Warmup {
     * streaming query pays only its own micro-batches.
     */
   private def streamingEngine(spark: SparkSession): Unit = {
+    var dirs = Seq.empty[java.nio.file.Path]
     try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft_warmup_src")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_warmup_ckpt")
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_warmup_ckpt2")
+      dirs = Seq(dir, ckpt, ckpt2)
       val one = Seq((java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1L))
         .toDF("ts", "v")
       one.coalesce(1).write.mode("overwrite").parquet(dir.toString)
@@ -48,7 +51,6 @@ object Warmup {
       q.awaitTermination()
       // stream-stream join state machinery loads its own classes
       // (SymmetricHashJoinStateManager and friends) — boot those too
-      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_warmup_ckpt2")
       val src = spark.readStream.schema(one.schema).parquet(dir.toString)
       val l = src.withWatermark("ts", "1 hour")
         .select(col("v").as("lv"), col("ts").as("lts"))
@@ -65,5 +67,16 @@ object Warmup {
         .start()
       q2.awaitTermination()
     } catch { case _: Throwable => () }
+    finally {
+      // leave nothing behind: drop the memory-sink tables and the temp dirs
+      Seq("graft_warmup_stream", "graft_warmup_join")
+        .foreach(t => try spark.catalog.dropTempView(t) catch { case _: Throwable => () })
+      dirs.foreach { p =>
+        try java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        catch { case _: Throwable => () }
+      }
+    }
   }
 }

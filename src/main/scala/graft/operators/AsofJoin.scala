@@ -57,10 +57,15 @@ object AsofJoin {
 
   /** FORWARD as-of: earliest right row at-or-after the left time —
     * SQL `ASOF ... ON l.t <= r.t` (the "next scheduled event" lookup).
-    * Same union + one-window shape mirrored: the right tag sorts AFTER
-    * left at equal times (a right row at exactly t matches), the frame
-    * runs current → unbounded FOLLOWING, and `first(_, ignoreNulls)`
-    * picks the next payload struct.
+    * Same union + one-window shape MIRRORED BY SORT ORDER, not by
+    * frame direction: ordering by (time DESC, __src DESC) with the
+    * usual preceding→current running frame means "last preceding
+    * payload" = the right row with the SMALLEST time ≥ the left time,
+    * and a right row at exactly t (tag 2 > tag 1) sorts before the
+    * left row so the tie matches. A currentRow→unboundedFollowing
+    * frame would give the same answer but Spark executes that frame
+    * shape by re-scanning current→end for every row — O(n²) per key —
+    * while the running frame is O(n).
     */
   def asofForward(left: DataFrame, right: DataFrame,
                   leftKey: String, leftTime: String,
@@ -79,9 +84,9 @@ object AsofJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(col(leftKey))
-      .orderBy(col(leftTime), col("__src"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    unioned.withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      .orderBy(col(leftTime).desc, col("__src").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
       .select(leftCols.map(col) ++
         payload.map(p => col("__p").getField(p).as(p)): _*)

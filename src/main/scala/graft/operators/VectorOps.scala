@@ -68,22 +68,31 @@ object VectorOps {
     */
   def matryoshkaSearch(queries: DataFrame, corpus: DataFrame, k: Int,
                        shortlist: Int = 20, prefixDims: Int = 8): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("q_emb"))
-      .withColumn("q_pre", slice(col("q_emb"), 1, prefixDims))
-      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    // stage 1 carries ONLY (ids, truncated cosine) through the pair
+    // stream and its rank window — projecting the full vectors onto
+    // every pair row would copy ~d doubles per pair just to keep them
+    // alive past the window; instead the full embeddings join back
+    // onto the ≤ shortlist·|Q| surviving rows for the exact rerank
+    val qPre = queries.select(col("vec_id").as("query_id"),
+        slice(toDouble(col("embedding")), 1, prefixDims).as("q_pre"))
       .withColumn("q_pnrm", l2Norm(col("q_pre")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("n_emb"))
-      .withColumn("n_pre", slice(col("n_emb"), 1, prefixDims))
-      .withColumn("n_nrm", l2Norm(col("n_emb")))
+    val cPre = corpus.select(col("vec_id").as("neighbor_id"),
+        slice(toDouble(col("embedding")), 1, prefixDims).as("n_pre"))
       .withColumn("n_pnrm", l2Norm(col("n_pre")))
-    val stage1 = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("n_emb"),
-        col("q_nrm"), col("n_nrm"),
+    val stage1 = cPre.join(broadcast(qPre), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("q_pre"), col("n_pre"), col("q_pnrm"), col("n_pnrm")).as("cosine_trunc"))
     val w1 = Window.partitionBy(col("query_id")).orderBy(col("cosine_trunc").desc, col("neighbor_id"))
     val short = stage1.withColumn("srnk", rank().over(w1)).filter(col("srnk") <= shortlist)
+
+    val qFull = queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val cFull = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_nrm", l2Norm(col("n_emb")))
     val w2 = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     short
+      .join(broadcast(qFull), "query_id")
+      .join(cFull, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("cosine_trunc"),
         cosinePre(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")).as("cosine"))
       .withColumn("rnk", rank().over(w2)).filter(col("rnk") <= k)

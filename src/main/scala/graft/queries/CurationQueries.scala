@@ -13,6 +13,23 @@ import graft.Tables
   */
 object CurationQueries {
 
+  /** DuckDB rendering of `TextFunctions.qualityLogit` — the pinned op
+    * order is load-bearing for bit-exactness, so it lives in ONE place
+    * and is interpolated into every oracle that scores documents
+    * (t12, t19, t20).
+    */
+  private val QualityF: String =
+    """f AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+      |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
+      |  FROM documents)""".stripMargin
+
+  private val QualityZ: String = "-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deterministic train/val/test split ----------------------------
@@ -135,19 +152,12 @@ object CurationQueries {
     // the score is rounded to 6 decimals (same discipline as t9's ln).
     QueryDef.sql(
       "t12_quality_model",
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
-        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
-        |  FROM documents),
-        |z AS (
-        |  SELECT doc_id, -1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl AS z FROM f)
-        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
-        |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
-        |FROM z""".stripMargin) { (s, d) =>
+      s"""WITH $QualityF,
+         |z AS (
+         |  SELECT doc_id, $QualityZ AS z FROM f)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+         |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+         |FROM z""".stripMargin) { (s, d) =>
       val score = lit(1.0) / (lit(1.0) +
         exp(-graft.functions.TextFunctions.qualityLogit(col("text"))))
       Tables.documents(s, d).select(
@@ -169,17 +179,10 @@ object CurationQueries {
     // (never global); at 100 TB each group ranks independently.
     QueryDef.sql(
       "t19_auc_by_source",
-      """WITH f AS (
-        |  SELECT doc_id, source, lang,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
-        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
-        |  FROM documents),
+      s"""WITH $QualityF,
         |sc AS (
         |  SELECT doc_id, source, (lang = 'en') AS pos,
-        |    round(1.0 / (1.0 + exp(-(-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl))), 6) AS score
+        |    round(1.0 / (1.0 + exp(-($QualityZ))), 6) AS score
         |  FROM f),
         |rn AS (
         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn
@@ -224,17 +227,10 @@ object CurationQueries {
     // ≤ 10 bins.
     QueryDef.sql(
       "t20_calibration",
-      """WITH f AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
-        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS atl,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
-        |  FROM documents),
+      s"""WITH $QualityF,
         |sc AS (
         |  SELECT doc_id, (lang = 'en') AS pos,
-        |    round(1.0 / (1.0 + exp(-(-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl))), 6) AS score
+        |    round(1.0 / (1.0 + exp(-($QualityZ))), 6) AS score
         |  FROM f)
         |SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -355,20 +355,15 @@ object RelationalQueries {
       "j2_explode_child_table",
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem") { (s, d) =>
       val nestedDir = s"/tmp/graft_j2_nested/${new java.io.File(d).getName}"
-      // stage once per source version (same marker trick as StreamStage):
-      // the measured/compared plan is the nested-source explode itself,
+      // stage once per source version (Staging.stageOnce): the
+      // measured/compared plan is the nested-source explode itself,
       // not the corpus-prep write
-      val src = new java.io.File(d, "lineitem.parquet")
-      val marker = java.nio.file.Paths.get(nestedDir, "_STAGED_OK")
-      val key = s"$d:${src.lastModified}:${src.length}"
-      if (!(java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker) == key)) {
+      Staging.stageOnce(nestedDir, Staging.sourceKey(d, "lineitem")) {
         Tables.lineitem(s, d)
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_list(
             struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("items"))
           .write.mode("overwrite").parquet(nestedDir)
-        java.nio.file.Files.writeString(marker, key)
       }
       s.read.parquet(nestedDir)
         .select(col("l_orderkey"), explode(col("items")).as("item"))
@@ -475,17 +470,12 @@ object RelationalQueries {
         |UNION ALL
         |SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1""".stripMargin) { (s, d) =>
       val stageDir = s"/tmp/graft_u7_snapshots/${new java.io.File(d).getName}"
-      val src = new java.io.File(d, "documents.parquet")
-      val marker = java.nio.file.Paths.get(stageDir, "_STAGED_OK")
-      val key = s"$d:${src.lastModified}:${src.length}"
-      if (!(java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker) == key)) {
+      Staging.stageOnce(stageDir, Staging.sourceKey(d, "documents")) {
         val docs = Tables.documents(s, d)
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
           .write.mode("overwrite").parquet(s"$stageDir/v1")
         docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("source"))
           .write.mode("overwrite").parquet(s"$stageDir/v2")
-        java.nio.file.Files.writeString(marker, key)
       }
       s.read.option("mergeSchema", "true")
         .parquet(s"$stageDir/v1", s"$stageDir/v2")
@@ -674,7 +664,7 @@ object RelationalQueries {
     QueryDef.sql(
       "ev12_session_window",
       """WITH lagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |flagged AS (
@@ -682,7 +672,7 @@ object RelationalQueries {
         |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
         |    THEN 1 ELSE 0 END AS new_session FROM lagged),
         |numbered AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
         |SELECT user_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start,
@@ -1129,7 +1119,8 @@ object RelationalQueries {
         |  round((e.value - s1 / n)
         |    / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
-        |WHERE abs((e.value - s1 / n)
+        |WHERE s2 / n - (s1 / n) * (s1 / n) > 0
+        |  AND abs((e.value - s1 / n)
         |    / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val st = Tables.events(s, d).groupBy(col("event_type"))
@@ -1137,9 +1128,12 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s1"),
           sum((col("value") * col("value")).cast(DecimalType(30, 6))).cast("double").as("s2"))
       val mean = col("s1") / col("n")
-      val z = (col("value") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+      val variance = col("s2") / col("n") - mean * mean
+      val z = (col("value") - mean) / sqrt(variance)
+      // zero-variance guard: x/0 is NULL in Spark, ±inf in DuckDB's
+      // IEEE mode — the same predicate excludes the segment in both
       Tables.events(s, d).join(broadcast(st), "event_type")
-        .filter(abs(z) > 3)
+        .filter(variance > 0 && abs(z) > 3)
         .select(col("event_id"), col("event_type"), col("value"), round(z, 6).as("z"))
     },
 
@@ -1168,7 +1162,8 @@ object RelationalQueries {
         |SELECT lang, n,
         |  round((n * sxy - sx * sy)
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_len_vocab
-        |FROM m""".stripMargin) { (s, d) =>
+        |FROM m
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val f = Tables.documents(s, d).select(col("lang"),
         size(split(lower(col("text")), "\\s+")).cast("long").as("x"),
@@ -1181,7 +1176,11 @@ object RelationalQueries {
         sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast("double").as("sxx"),
         sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
       val n = col("n").cast("double")
-      m.select(col("lang"), col("n"),
+      // degenerate-group guard (n=1 or a constant feature): 0/0 is NULL
+      // in Spark but NaN in DuckDB's IEEE mode — exclude in BOTH engines
+      m.filter(n * col("sxx") - col("sx") * col("sx") > 0 &&
+          n * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("lang"), col("n"),
         round((n * col("sxy") - col("sx") * col("sy")) /
           (sqrt(n * col("sxx") - col("sx") * col("sx")) *
             sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("corr_len_vocab"))
@@ -1245,11 +1244,7 @@ object RelationalQueries {
         |       ELSE 'unchanged' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin) { (s, d) =>
       val stageDir = s"/tmp/graft_u10_snapshots/${new java.io.File(d).getName}"
-      val src = new java.io.File(d, "documents.parquet")
-      val marker = java.nio.file.Paths.get(stageDir, "_STAGED_OK")
-      val key = s"$d:${src.lastModified}:${src.length}"
-      if (!(java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker) == key)) {
+      Staging.stageOnce(stageDir, Staging.sourceKey(d, "documents")) {
         val docs = Tables.documents(s, d)
         docs.filter(col("doc_id") % 3 =!= 0)
           .select(col("doc_id"), md5(col("text")).as("h"))
@@ -1259,7 +1254,6 @@ object RelationalQueries {
             md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("h"))
           .write.mode("overwrite").parquet(s"$stageDir/v2")
-        java.nio.file.Files.writeString(marker, key)
       }
       val v1 = s.read.parquet(s"$stageDir/v1").select(col("doc_id").as("id1"), col("h").as("h1"))
       val v2 = s.read.parquet(s"$stageDir/v2").select(col("doc_id").as("id2"), col("h").as("h2"))

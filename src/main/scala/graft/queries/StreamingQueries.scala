@@ -158,7 +158,7 @@ object StreamingQueries {
     QueryDef.sql(
       "ev12s_session_window_stream",
       """WITH lagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |flagged AS (
@@ -166,7 +166,7 @@ object StreamingQueries {
         |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
         |    THEN 1 ELSE 0 END AS new_session FROM lagged),
         |numbered AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
         |SELECT user_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start,

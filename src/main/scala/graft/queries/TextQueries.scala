@@ -31,17 +31,10 @@ object TextQueries {
   private[queries] def stagedNearDupPairs(s: org.apache.spark.sql.SparkSession,
                                           d: String): org.apache.spark.sql.DataFrame = {
     val dir = s"/tmp/graft_neardup_pairs/${new java.io.File(d).getName}"
-    val src = new java.io.File(d, "documents.parquet")
-    val marker = java.nio.file.Paths.get(dir, "pairs", "_SUCCESS")
-    val keyFile = java.nio.file.Paths.get(dir, "_STAGED_KEY")
-    val key = s"$d:${src.lastModified}:${src.length}:t0.7"
-    if (!(java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.exists(keyFile) &&
-          java.nio.file.Files.readString(keyFile) == key)) {
+    Staging.stageOnce(dir, Staging.sourceKey(d, "documents", ":t0.7")) {
       graft.operators.JaccardJoin.pairs(Tables.documents(s, d),
         idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.7)
         .write.mode("overwrite").parquet(s"$dir/pairs")
-      java.nio.file.Files.writeString(keyFile, key)
     }
     s.read.parquet(s"$dir/pairs")
   }
