@@ -106,6 +106,51 @@ object VectorQueries {
         k = 5, numCells = 16, nprobe = 4)
     },
 
+    // ---- embedding whitening (per-dimension standardization) -------------
+    // The preprocessing step before PQ/IVF training: every dimension is
+    // centered and scaled by its corpus std. Moments are order-
+    // independent: each value is quantized to DECIMAL(20,8) (and its
+    // square to DECIMAL(30,12)) before summation — exact under any
+    // partitioning, mirrorable in any engine (v4's sorted-fold trick
+    // collects a whole column per group, fine for label-bounded groups
+    // but memory-unbounded for global per-dim stats; quantized decimal
+    // sums are the scan-shaped alternative). The 64-row stats table
+    // broadcasts back onto the sample projection; z output rounds to 6.
+    QueryDef.sql(
+      "v10_whiten",
+      """WITH vals AS (
+        |  SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE))) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(20,8))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE) AS s2
+        |  FROM vals GROUP BY dim)
+        |SELECT vec_id, CAST(vals.dim AS INT) AS dim,
+        |  round((v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS whitened
+        |FROM vals JOIN st ON vals.dim = st.dim
+        |WHERE vec_id < 10 AND vals.dim <= 8
+        |  AND s2 / n - (s1 / n) * (s1 / n) > 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val vals = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("p", "v")))
+        .select(col("vec_id"), (col("p") + 1).as("dim"), col("v"))
+      val st = vals.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(20, 8))).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast(DecimalType(30, 12))).cast("double").as("s2"))
+      val mean = col("s1") / col("n")
+      val variance = col("s2") / col("n") - mean * mean
+      vals.filter(col("vec_id") < 10 && col("dim") <= 8)
+        .join(broadcast(st), "dim")
+        .filter(variance > 0)
+        .select(col("vec_id"), col("dim").cast("int").as("dim"),
+          round((col("v") - mean) / sqrt(variance), 6).as("whitened"))
+    },
+
     // ---- per-label centroids (deterministic sorted-fold mean) -----------
     // Double sums are order-dependent; sorting the per-group values and
     // folding sequentially makes the mean bit-reproducible under any
