@@ -66,10 +66,38 @@ object Warmup {
         .trigger(Trigger.AvailableNow())
         .start()
       q2.awaitTermination()
+      // ev13s/ev15s run under the RocksDB state-store provider (the
+      // transformWithState API requires it). The two warmups above
+      // boot only the default HDFS-backed store, so the RocksDB
+      // native-library + class loading would otherwise land on the
+      // first timed transformWithState query. Re-run the tiny
+      // stateful query with the provider switched, then restore it.
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      val ckpt3 = java.nio.file.Files.createTempDirectory("graft_warmup_ckpt3")
+      dirs = dirs :+ ckpt3
+      try {
+        spark.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q3 = spark.readStream.schema(one.schema).parquet(dir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("v")).count()
+          .writeStream.format("memory").queryName("graft_warmup_rocksdb")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt3.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q3.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
+      }
     } catch { case _: Throwable => () }
     finally {
       // leave nothing behind: drop the memory-sink tables and the temp dirs
-      Seq("graft_warmup_stream", "graft_warmup_join")
+      Seq("graft_warmup_stream", "graft_warmup_join", "graft_warmup_rocksdb")
         .foreach(t => try spark.catalog.dropTempView(t) catch { case _: Throwable => () })
       dirs.foreach { p =>
         try java.nio.file.Files.walk(p)

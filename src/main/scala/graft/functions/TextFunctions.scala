@@ -16,8 +16,14 @@ object TextFunctions {
   /** Whitespace-delimited token count. */
   def tokenCount(text: Column): Column = regexCount(text, "\\S+")
 
-  /** Lower-cased whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Lower-cased whitespace tokens, with NO empty tokens — the exact
+    * twin of the oracle's `regexp_extract_all(lower(text), '\S+')`.
+    * (`split` on `\s+` emits a leading "" token for text with leading
+    * whitespace and [""] for empty text, silently skewing counts and
+    * vocabularies on any corpus that isn't single-space-normalized.)
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
   /** BPE-style pre-tokenization count: letter runs, digit runs, and
     * individual other marks count as separate tokens — a cheap,

@@ -104,7 +104,7 @@ object CurationQueries {
       val window = 32
       val stride = 24
       val staged = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 1)
       staged
         .select(col("doc_id"), col("t"),
@@ -282,7 +282,7 @@ object CurationQueries {
         |  round(exp(-(sum_logp / CAST(n_tokens AS DOUBLE))), 6) AS ppl
         |FROM ds""".stripMargin) { (s, d) =>
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
       val cf = tok.groupBy("term").agg(count(lit(1)).as("c"))
       val tot = cf.agg(sum(col("c")).cast("double").as("total"))
       val lp = cf.crossJoin(broadcast(tot))
@@ -318,7 +318,7 @@ object CurationQueries {
         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
         |FROM tf GROUP BY doc_id""".stripMargin) { (s, d) =>
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
       tf.groupBy("doc_id").agg(
         sum(col("c")).as("n_tokens"),
@@ -362,7 +362,7 @@ object CurationQueries {
         |FROM g""".stripMargin) { (s, d) =>
       val cap = 4096L
       val t = Tables.documents(s, d).select(col("doc_id"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
       val bucket = when(col("n_tokens") <= 32, 32L)
         .when(col("n_tokens") <= 64, 64L)
         .when(col("n_tokens") <= 128, 128L)

@@ -658,9 +658,13 @@ object RelationalQueries {
     // ev2 sessionizes with CUSTOM state (flatMapGroupsWithState, floor-
     // second gap rule); this is Spark's BUILT-IN session_window — gap
     // merge at exact microsecond precision, batch and streaming from
-    // the same expression. New session iff ts ≥ last + 30 min (µs);
-    // session end = last event + gap by definition. The oracle mirrors
-    // both rules with integer-µs arithmetic.
+    // the same expression. Sessions MERGE when the new event's window
+    // start <= the current session end (UpdatingSessionsIterator opens
+    // a new session only when start > end), so: new session iff
+    // ts > last + 30 min (µs) — an event landing EXACTLY on the gap
+    // boundary still merges. Session end = last event + gap by
+    // definition. The oracle mirrors both rules with strict integer-µs
+    // arithmetic; SessionBoundarySpec pins the exact-gap case.
     QueryDef.sql(
       "ev12_session_window",
       """WITH lagged AS (
@@ -669,7 +673,7 @@ object RelationalQueries {
         |  FROM events),
         |flagged AS (
         |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |    THEN 1 ELSE 0 END AS new_session FROM lagged),
         |numbered AS (
         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1166,8 +1170,8 @@ object RelationalQueries {
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val f = Tables.documents(s, d).select(col("lang"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("x"),
-        size(array_distinct(split(lower(col("text")), "\\s+"))).cast("long").as("y"))
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("x"),
+        size(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).cast("long").as("y"))
       val m = f.groupBy("lang").agg(
         count(lit(1)).as("n"),
         sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),

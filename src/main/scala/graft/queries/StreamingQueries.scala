@@ -154,7 +154,9 @@ object StreamingQueries {
     // state store (sessions start per event, merge when they overlap),
     // a THIRD stateful mechanism beside windowed agg (ev1s/ev9s) and
     // flatMapGroupsWithState (ev2s). Same oracle as the batch twin
-    // ev12: exact-µs gap rule, session end = last event + gap.
+    // ev12: sessions merge when window start <= session end, so a new
+    // session opens only when the gap STRICTLY exceeds 30 min (µs);
+    // session end = last event + gap.
     QueryDef.sql(
       "ev12s_session_window_stream",
       """WITH lagged AS (
@@ -163,7 +165,7 @@ object StreamingQueries {
         |  FROM events),
         |flagged AS (
         |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |    THEN 1 ELSE 0 END AS new_session FROM lagged),
         |numbered AS (
         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -274,6 +276,26 @@ object StreamingQueries {
           src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "error"),
           windowMinutes = 240))
+    },
+
+    // Stream-STATIC enrichment join — the stateless streaming join
+    // flavor (the other nine queries are stateful): each micro-batch
+    // hash-joins the event stream against the static customer
+    // dimension, broadcast per batch; no watermark, no state store
+    // (EventStreamsSpec pins stateOperators.isEmpty on the progress).
+    // Flush rows carry user_id < 0, which never matches the dimension,
+    // so the inner join drops them inside the plan — no sink filter
+    // needed for them (kept anyway for uniformity).
+    QueryDef.sql(
+      "ev16s_enrich_dim_stream",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) { (s, d) =>
+      staged(s, d, "ev16s_out")(src =>
+        EventStreams.enrichWithDim(src, Tables.customer(s, d),
+            streamKey = "user_id", dimKey = "c_custkey")
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment")))
+        .filter(col("user_id") >= 0)
     }
   )
 }

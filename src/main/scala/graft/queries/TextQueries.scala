@@ -239,7 +239,7 @@ object TextQueries {
         |GROUP BY e.doc_id""".stripMargin) { (s, d) =>
       val k = 5
       val staged = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
       val m = size(col("t")) - (k - 1)
       val grams = when(m >= 1,
           transform(sequence(lit(1), m), i => array_join(slice(col("t"), i, lit(k)), " ")))
@@ -273,7 +273,7 @@ object TextQueries {
         |FROM g""".stripMargin) { (s, d) =>
       val k = 3
       val staged = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
       val m = size(col("t")) - (k - 1)
       val grams = when(m >= 1,
           transform(sequence(lit(1), m), i => array_join(slice(col("t"), i, lit(k)), " ")))
@@ -307,7 +307,7 @@ object TextQueries {
         |FROM r WHERE rn <= 20""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val cnt = Tables.documents(s, d)
-        .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
         .groupBy("lang", "term").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
       cnt.withColumn("rank", row_number().over(w))
@@ -532,7 +532,7 @@ object TextQueries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val qterms = Seq("spark", "join", "hash")
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         sum(col("dl")).cast("double").as("tot"))
@@ -601,7 +601,7 @@ object TextQueries {
         |  FROM sc) WHERE rnk <= 3""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
@@ -656,7 +656,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val span = 16
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
       val sp = tok.filter(size(col("t")) >= span)
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(1), size(col("t")) - (span - 1))).as("s"))
@@ -691,9 +691,11 @@ object TextQueries {
     // ---- vocabulary construction (term → id by frequency rank) ------------
     // The tokenizer-prep step: every term gets a dense id ordered by
     // corpus frequency (ties by term). Term counts flow through one
-    // partial-aggregated shuffle; the ranking window runs over the
-    // VOCABULARY (bounded, ≪ corpus — the standard regime); for
-    // >10M-term vocabs the c7 shard-offset trick applies unchanged.
+    // partial-aggregated shuffle; the global ranking is the two-phase
+    // SHARDED rank (range-repartition + local window + broadcast
+    // offsets, ShardedRank.withRank) — no unpartitioned window, so a
+    // >10M-term web-corpus vocabulary ranks in parallel instead of
+    // through one task.
     QueryDef.sql(
       "t15_vocab_build",
       """WITH tok AS (
@@ -704,14 +706,11 @@ object TextQueries {
         |  CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS token_id,
         |  freq
         |FROM tf""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(explode(tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
-      tf.select(col("term"),
-        row_number().over(Window.orderBy(col("freq").desc, col("term")))
-          .cast("int").as("token_id"),
-        col("freq"))
+      graft.operators.ShardedRank.withRank(tf, "__rank", col("freq").desc, col("term"))
+        .select(col("term"), col("__rank").cast("int").as("token_id"), col("freq"))
     },
 
     // ---- Zipf fit of the term distribution (corpus health check) ----------
@@ -722,7 +721,7 @@ object TextQueries {
     // 8 dp per term, all five moments accumulate in DECIMAL (exact,
     // order-independent), and the final slope/intercept divisions are
     // straight-line double ops rounded to 6. The vocabulary ranking
-    // reuses t15's bounded-vocab window.
+    // reuses t15's sharded two-phase rank (no unpartitioned window).
     QueryDef.sql(
       "t21_zipf_fit",
       """WITH tok AS (
@@ -747,13 +746,13 @@ object TextQueries {
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
         |    AS intercept
         |FROM m""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val tf = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(explode(tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
-      val rk = tf.select(col("freq"),
-        row_number().over(Window.orderBy(col("freq").desc, col("term"))).as("rank"))
+      val rk = graft.operators.ShardedRank
+        .withRank(tf, "rank", col("freq").desc, col("term"))
+        .select(col("freq"), col("rank"))
       val xy = rk.select(
         round(log(col("rank").cast("double")), 8).as("x"),
         round(log(col("freq").cast("double")), 8).as("y"))
@@ -785,7 +784,7 @@ object TextQueries {
         |FROM st GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(split(lower(col("text")), "\\s+").as("t"))
+        .select(tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
         .select(concat(element_at(col("t"), col("i")), lit(" "),
@@ -820,7 +819,7 @@ object TextQueries {
         |ORDER BY n_docs DESC, n_occurrences DESC, span_hash LIMIT 100""".stripMargin) { (s, d) =>
       val span = 16
       Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= span)
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(1), size(col("t")) - (span - 1))).as("s"))
@@ -889,7 +888,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val tok = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+          explode(array_distinct(tokens(col("text")))).as("term"))
       val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
       val seg = tok.withColumn("rn", row_number().over(w))
@@ -916,7 +915,7 @@ object TextQueries {
       val terms = Seq("table", "query", "merge")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+          explode(array_distinct(tokens(col("text")))).as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy("doc_id").agg(count(lit(1)).as("nmatch"))
         .filter(col("nmatch") === terms.length)
@@ -926,11 +925,14 @@ object TextQueries {
     // ---- tokenizer application (encode docs to token-id sequences) --------
     // Consumes t15's vocabulary: every document becomes its sequence of
     // dense token ids — the step between corpus curation and training.
-    // Scale shape: the vocab (bounded) is BROADCAST onto the exploded
-    // (doc_id, pos, term) stream, encoded rows ship back through one
-    // partial-agg shuffle keyed on doc_id, and order is restored from
-    // the carried position (sort_array over (pos, id) structs — no
-    // window). Ids are emitted space-joined (stable cross-engine).
+    // Scale shape: the vocab ranks via the sharded two-phase rank (no
+    // unpartitioned window), then joins the exploded (doc_id, pos,
+    // term) stream WITHOUT a broadcast hint — Catalyst/AQE broadcasts
+    // iff the built vocab fits the size threshold and falls back to a
+    // shuffled hash join for a web-scale vocabulary. Encoded rows ship
+    // back through one partial-agg shuffle keyed on doc_id, and order
+    // is restored from the carried position (sort_array over (pos, id)
+    // structs — no window). Ids are space-joined (stable cross-engine).
     QueryDef.sql(
       "t18_tokenize_ids",
       """WITH tok AS (
@@ -951,17 +953,16 @@ object TextQueries {
         |  string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY p.pos) AS token_ids
         |FROM pairs p JOIN vocab v ON p.term = v.term
         |GROUP BY p.doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .select(explode(tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
-      val vocab = tf.select(col("term"),
-        row_number().over(Window.orderBy(col("freq").desc, col("term")))
-          .cast("int").as("token_id"))
+      val vocab = graft.operators.ShardedRank
+        .withRank(tf, "__rank", col("freq").desc, col("term"))
+        .select(col("term"), col("__rank").cast("int").as("token_id"))
       val pairs = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")).as(Seq("p0", "term")))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "term")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
-      pairs.join(broadcast(vocab), "term")
+      pairs.join(vocab, "term")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           array_join(transform(sort_array(collect_list(struct(col("pos"), col("token_id")))),

@@ -49,4 +49,14 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > 0)
   }
+
+  test("ev16s stream-static enrichment == batch broadcast join") {
+    val streamed = q("ev16s_enrich_dim_stream")(spark, sf())
+    val ev = Tables.events(spark, sf())
+    val batch = ev.join(Tables.customer(spark, sf()),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
 }
