@@ -47,12 +47,21 @@ object Ingest {
     * unparseable documents without failing the job. `schema` SHOULD be
     * passed at scale (sparse concordance-driven schema = subtree
     * pruning, SURVEY §4); inference is for tests/exploration.
+    *
+    * `ignoreNamespace=true` is load-bearing: real-world filings exist
+    * with PREFIXED elements (`<efile:Return>`) instead of the usual
+    * default namespace, and with the option off Spark's parser finds
+    * no `Return` row tag at all — the document is SILENTLY DROPPED
+    * (not even quarantined). The reference strips namespaces before
+    * every xpath (`xml_ns_strip`, `build_efile_database_functions
+    * .R:5030`); this option is the schema-first equivalent.
     */
   def readReturns(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val base = spark.read.format("xml")
       .option("rowTag", "Return")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("ignoreNamespace", "true")
     schema.fold(base)(s => base.schema(addCorruptField(s)))
       .load(path)
       .withColumn("source_url", input_file_name())
@@ -61,6 +70,31 @@ object Ingest {
   private def addCorruptField(s: StructType): StructType =
     if (s.fieldNames.contains("_corrupt_record")) s
     else s.add("_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true)
+
+  /** Duplicate-scalar violation log (SURVEY §7): for every dup-guarded
+    * identity path that resolved to an array in `returns`' schema,
+    * report documents where the element occurred more than once. The
+    * EXTRACTION takes the first match (Extract.asScalar element 1 —
+    * document order, the R xpath rule); this view is the "log
+    * violations" half of the policy. One scan-stage projection + one
+    * union per guarded path — no shuffle.
+    */
+  def duplicateScalars(returns: DataFrame,
+                       guardPaths: Seq[String] = SchemaBuild.headerPaths): DataFrame = {
+    val views = guardPaths.flatMap { p =>
+      Extract.resolveRaw(returns, p).collect {
+        case (org.apache.spark.sql.types.ArrayType(_, _), c) =>
+          returns.filter(size(c) > 1)
+            .select(col("source_url"), lit(p).as("xpath"),
+              size(c).as("n_matches"),
+              element_at(c, 1).cast("string").as("first_match"))
+      }
+    }
+    views.reduceOption(_ unionByName _).getOrElse {
+      returns.limit(0).select(col("source_url"), lit("").as("xpath"),
+        lit(0).as("n_matches"), lit("").as("first_match"))
+    }
+  }
 
   /** S5: the quarantine view (reference FAIL_LIST). The input must be
     * cached/persisted first — Spark refuses corrupt-column-only queries

@@ -29,9 +29,13 @@ object Pipeline {
     */
   def presenceSchedules: Seq[String] = Core238.scheduleLetters
 
-  def build(spark: SparkSession, corpusPath: String,
+  /** The corpus parse `build` derives everything from — exposed so
+    * callers (and specs) can run side views like
+    * [[Ingest.duplicateScalars]] against the same sparse schema.
+    */
+  def parse(spark: SparkSession, corpusPath: String,
             concordance: Seq[ConcordanceEntry],
-            inferSchema: Boolean = false): Outputs = {
+            inferSchema: Boolean = false): DataFrame = {
     // Default: concordance-derived sparse schema (Core's declared paths
     // + headers + crosswalk) — no inference pass, no undeclared subtree
     // parsing. Inference is opt-in for exploration only: on a 3M-doc
@@ -41,8 +45,21 @@ object Pipeline {
       else Some(SchemaBuild.sparseSchema(concordance,
         SchemaBuild.headerPaths ++ Core.declaredPaths ++ Core238.declaredPaths ++
           presenceSchedules.map(s => s"/Return/ReturnData/IRS990Schedule$s")))
-    val parsed = Ingest.readReturns(spark, corpusPath, schema)
+    Ingest.readReturns(spark, corpusPath, schema)
+  }
+
+  def build(spark: SparkSession, corpusPath: String,
+            concordance: Seq[ConcordanceEntry],
+            inferSchema: Boolean = false): Outputs = {
+    val raw = parse(spark, corpusPath, concordance, inferSchema)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // quarantined documents feed ONLY the fail list — every derived
+    // table builds from clean parses (reference: FAIL_LIST rows are
+    // retried/skipped, never emitted into tables, R:5047-5101)
+    val parsed =
+      if (raw.columns.contains("_corrupt_record"))
+        raw.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      else raw
     val core = Core.build(parsed)
     val childTables = concordance.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
     val children = childTables.map(t => t -> TableBuild.oneToMany(parsed, concordance, t)).toMap
@@ -53,7 +70,7 @@ object Pipeline {
       .map(_.rdbTable).distinct
     val tableOnes = oneTables.map(t => t -> TableBuild.oneToOne(parsed, concordance, t)).toMap
     Outputs(core, Core.typedView(core), Core238.build(parsed), children, tableOnes,
-      TableBuild.schedulePresence(parsed, presenceSchedules), Ingest.failed(parsed))
+      TableBuild.schedulePresence(parsed, presenceSchedules), Ingest.failed(raw))
   }
 
   /** `csv = true` additionally writes each table as headered CSV —

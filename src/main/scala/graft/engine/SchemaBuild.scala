@@ -15,6 +15,19 @@ import org.apache.spark.sql.types._
   * repeating-group prefixes of MANY-cardinality tables become
   * `ArrayType(StructType)` so single-occurrence documents still parse
   * as one-element arrays.
+  *
+  * Duplicate-scalar policy (SURVEY §7 "take first match for
+  * declared-ONE fields, log violations"): a scalar-declared leaf makes
+  * Spark's parser keep the LAST occurrence when a malformed document
+  * repeats the element. The identity fields every table keys on
+  * (`dupGuardPaths`, default = the header paths) are therefore
+  * declared `ArrayType(StringType)`: the parser collects occurrences
+  * in document order, `Extract.asScalar` takes element 1 (first
+  * match — the R reference's xpath order), and
+  * [[Ingest.duplicateScalars]] reports the violating documents. The
+  * reference itself guards only DOMICILE/FILINGSTATES
+  * (`build_efile_database_functions.R:528,1821`); payload fields keep
+  * the cheap scalar parse.
   */
 object SchemaBuild {
 
@@ -22,12 +35,15 @@ object SchemaBuild {
   private final class Branch(val children: scala.collection.mutable.LinkedHashMap[String, Node],
                              var isArray: Boolean) extends Node
   private case object Leaf extends Node
+  private case object GuardedLeaf extends Node
 
   def sparseSchema(entries: Seq[ConcordanceEntry],
-                   extraPaths: Seq[String] = headerPaths): StructType = {
+                   extraPaths: Seq[String] = headerPaths,
+                   dupGuardPaths: Seq[String] = headerPaths): StructType = {
     val groupPrefixes: Set[Seq[String]] =
       entries.filter(_.cardinality == "MANY").map(_.rdbTable).distinct
         .flatMap(t => Concordance.groupPaths(entries, t)).toSet
+    val guarded: Set[Seq[String]] = dupGuardPaths.map(Extract.toSegments).toSet
 
     val root = new Branch(scala.collection.mutable.LinkedHashMap.empty, isArray = false)
 
@@ -38,7 +54,10 @@ object SchemaBuild {
         prefix :+= seg
         val name = if (seg.startsWith("@")) "_" + seg.stripPrefix("@") else seg
         if (i == segments.length - 1) {
-          if (!node.children.contains(name)) node.children(name) = Leaf
+          val leaf = if (guarded.contains(segments)) GuardedLeaf else Leaf
+          // a guarded insert upgrades a plain leaf, never downgrades
+          if (!node.children.contains(name) || (leaf == GuardedLeaf &&
+              node.children(name) == Leaf)) node.children(name) = leaf
         } else {
           val child = node.children.get(name) match {
             case Some(b: Branch) => b
@@ -57,6 +76,7 @@ object SchemaBuild {
 
     def render(n: Node): DataType = n match {
       case Leaf => StringType
+      case GuardedLeaf => ArrayType(StringType, containsNull = true)
       case b: Branch =>
         val st = StructType(b.children.toSeq.map { case (name, child) =>
           StructField(name, render(child), nullable = true)
