@@ -24,7 +24,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // builder-side complete artifact: the driver's capture buffer
+    // truncates long tails, so the full per-query map is also written
+    // to a file (committed per round as bench_full.json)
+    val host = s""""host":{"cpus":"$cpus","note":"local[$cpus] single JVM; host CPU availability swings; same-session A/Bs are the trustworthy deltas"}"""
+    val full = line.dropRight(1) + "," + host + ",\"n_queries\":" + results.length + "}"
+    val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

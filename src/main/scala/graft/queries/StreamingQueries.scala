@@ -39,8 +39,18 @@ object StreamingQueries {
     // regenerated testdata re-stages
     val src = new java.io.File(dir, "events.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
+    // GRAFT_STREAM_FAST=1 puts the staged source + checkpoints on
+    // tmpfs (/dev/shm): the per-query fixed cost of a staged streaming
+    // run is dominated by WAL/state-store commit fsyncs, which a bench
+    // host pays 11× (once per streaming query). A cluster run keeps
+    // checkpoints on durable storage — this knob only moves BENCH
+    // scaffolding, the streaming code is identical.
+    val stageRoot =
+      if (sys.env.get("GRAFT_STREAM_FAST").contains("1") &&
+          new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_stream_stage"
+      else "/tmp/graft_stream_stage"
     StreamStage.run(spark, name,
-      s"/tmp/graft_stream_stage/${new java.io.File(dir).getName}", bulk,
+      s"$stageRoot/${new java.io.File(dir).getName}", bulk,
       Seq(flushRow(spark, -2L, "2100-02-01 00:00:00")),
       shufflePartitions = Some(8), reuseKey = Some(key),
       extraConfs = extraConfs)(transform)

@@ -858,6 +858,30 @@ object TextQueries {
         idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.95)
     },
 
+    // ---- containment join, PREFIX plan under the gate ----------------------
+    // d11 probes this corpus' bounded vocabulary into the bitmap path;
+    // this twin forces the rare-token-prefix plan (`vocabLimit = 1` —
+    // every vocabulary is "large") so the plan a 100 TB web corpus
+    // would take is ALSO hash-checked against the same brute-force
+    // oracle. Both paths must emit the identical pair set; PlanAudit
+    // and JaccardJoinSpec pin the plan difference, this pins the
+    // result at gate scale.
+    QueryDef.sql(
+      "d11b_containment_prefix",
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(a.toks) AS DOUBLE) AS containment
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(a.toks) AS DOUBLE) >= 0.95""".stripMargin) { (s, d) =>
+      graft.operators.JaccardJoin.containmentPairs(Tables.documents(s, d),
+        idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.95,
+        vocabLimit = 1)
+    },
+
     // ---- inverted index build (term → posting list) -----------------------
     // The retrieval-side structure BM25 (t9) assumes: per term, its
     // document frequency and a BOUNDED posting segment (first 100

@@ -73,6 +73,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("d11b forces the prefix containment plan; d11 probes into bitmap here") {
+    // d11b is the web-corpus plan under the oracle gate: graft_overlap
+    // merge-walk verify, no bitmap popcount. d11 on this bounded-vocab
+    // corpus must keep choosing the popcount plan.
+    val pb = plan("d11b_containment_prefix")
+    assert(pb.contains("graft_overlap"), pb)
+    assert(!pb.contains("bit_count"), pb)
+    val p = plan("d11_containment_join")
+    assert(p.contains("bit_count"), p)
+  }
+
   test("a13: histogram range is a broadcast, bin+count stay one aggregate") {
     val p = plan("a13_histogram")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
