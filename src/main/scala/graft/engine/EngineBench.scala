@@ -28,6 +28,7 @@ object EngineBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Ingest.tuneSmallFileSplits(spark)
 
     // --- corpus generation (not timed): deterministic, bundled into
     // few large multi-doc files? No — the reference corpus is one XML

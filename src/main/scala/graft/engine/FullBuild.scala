@@ -54,6 +54,7 @@ object FullBuild {
       (if (masterEnv == "provided") builder0 else builder0.master(masterEnv))
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Ingest.tuneSmallFileSplits(spark)
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
         spark.sparkContext.defaultParallelism.toString))

@@ -17,6 +17,26 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
+  /** Small-file split bundling for the XML corpus scan. The corpus is
+    * millions of KB-sized files; Spark's default `openCostInBytes`
+    * (4 MB) bin-packs only ~30 of them per 128 MB split, so a 20k-doc
+    * scan plans ~600 splits — and EVERY split rebuilds the
+    * per-reader conversion tree for the ~9,800-leaf sparse schema,
+    * which dominates the parse (measured 5.7×: 33.6 s → 5.9 s full-row
+    * parse at 20k docs, graft.engine.ParseFloor). With a realistic
+    * open cost the planner's bytes-per-core formula
+    * (`max(openCost, totalBytes/parallelism)` capped by
+    * `maxPartitionBytes`) sizes splits to the cluster automatically —
+    * one converter build per core, not per 30 documents. Env
+    * overrides: GRAFT_MAX_PARTITION_BYTES / GRAFT_OPEN_COST_BYTES.
+    */
+  def tuneSmallFileSplits(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", (512L * 1024 * 1024).toString))
+    spark.conf.set("spark.sql.files.openCostInBytes",
+      sys.env.getOrElse("GRAFT_OPEN_COST_BYTES", "8192"))
+  }
+
   /** S1: index scan — all years in one read, deduped (P3), TaxYear
     * derived (R7). `paths` may be a glob (`.../index_*.json`).
     */
