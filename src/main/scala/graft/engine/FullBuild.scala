@@ -63,19 +63,21 @@ object FullBuild {
       .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 8))
     val csv = sys.env.get("GRAFT_CSV").exists(v => v == "1" || v == "true")
 
-    // corpus (untimed)
+    // corpus (untimed; deterministic — an existing dir with the right
+    // file count is reused so A/B runs over one corpus)
     val corpusDir = s"$work/corpus"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
-    (0 until n).foreach { i =>
-      val ein = f"${100000000L + i}%09d"
-      // form mix approximates the corpus (README.md:77-82): mostly PC,
-      // with EZ and PF slices so every scope's build path is exercised
-      val form = if (i % 5 == 4) "990PF" else if (i % 3 == 0) "990EZ" else "990"
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$corpusDir/${ein}_public.xml"),
-        EngineBench.synthDoc(ein, post2013 = i % 2 == 0, form = form,
-          gross = 1000L + (i * 37L) % 900000L, members = 1 + i % 4, seed = i))
-    }
+    if (new java.io.File(corpusDir).list().length != n)
+      (0 until n).foreach { i =>
+        val ein = f"${100000000L + i}%09d"
+        // form mix approximates the corpus (README.md:77-82): mostly PC,
+        // with EZ and PF slices so every scope's build path is exercised
+        val form = if (i % 5 == 4) "990PF" else if (i % 3 == 0) "990EZ" else "990"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$corpusDir/${ein}_public.xml"),
+          EngineBench.synthDoc(ein, post2013 = i % 2 == 0, form = form,
+            gross = 1000L + (i * 37L) % 900000L, members = 1 + i % 4, seed = i))
+      }
 
     val master = Concordance.readCsv(spark, s"$refDir/MASTER_CONCORDANCE_V0.csv")
     val partvii = Concordance.readCsv(spark, s"$refDir/BUILD_SCRIPTS/ConcordancePartVII.csv")

@@ -193,6 +193,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(core.count() == 7)
     assert(core.select("EIN").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().forall(_.startsWith("3")))
+    // GRAFT_YEARS-style scoping is PARTITION PRUNING in the scan: a
+    // TAXYR filter must reach the scan's PartitionFilters and the
+    // pruned plan must touch only that partition's files
+    val pruned = rawDf.filter(org.apache.spark.sql.functions.col("TAXYR") === "2013")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("TAXYR"), plan)
+    // files actually READ at execution (inputFiles is pre-pruning
+    // relation metadata): only the 2013 partition's
+    val readFiles = pruned
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    assert(readFiles.nonEmpty && readFiles.forall(_.contains("TAXYR=2013")),
+      readFiles.mkString(", "))
+    assert(rawDf.inputFiles.exists(!_.contains("TAXYR=2013")))
   }
 
   test("Refresh.incrementalParquet ingests only new files across runs") {
