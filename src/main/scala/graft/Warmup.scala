@@ -16,7 +16,14 @@ object Warmup {
 
   def run(spark: SparkSession, sfDir: String, streaming: Boolean = true): Unit = {
     Tables.all.foreach { t =>
-      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
+      // the typed accessor, not the generic loader: events.parquet needs
+      // the nanos-as-long flag, so a generic read of it fails and the
+      // table would silently stay cold
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.count()
+      } catch { case _: Throwable => () }
     }
     if (streaming) streamingEngine(spark)
   }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst intersection COUNT over two SORTED, de-duplicated
-  * `array<string>` columns — the verify kernel of every exact
-  * set-similarity join (Jaccard / containment / overlap predicates).
+  * `array<string>` (or `array<long>`) columns — the verify kernel of
+  * every exact set-similarity join (Jaccard / containment / overlap
+  * predicates). The long variant is the 100 TB representation: token /
+  * shingle sets hashed to 8-byte values (xxhash64) shuffle at a quarter
+  * of the width of 32-hex digests and compare with one integer op.
   *
   * The built-in formulation `size(array_intersect(a, b))` builds a
   * hash set and an output array PER PAIR; on a similarity join the
@@ -31,14 +34,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpression {
 
+  private def elemIsLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => true
       case _ => false
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    def elem(dt: DataType): DataType = dt.asInstanceOf[ArrayType].elementType
+    if (ok(left.dataType) && ok(right.dataType) &&
+        elem(left.dataType) == elem(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_overlap requires two array<string> arguments, got " +
+      s"graft_overlap requires two array<string> or two array<long> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -54,11 +64,20 @@ case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpr
     var i = 0
     var j = 0
     var acc = 0L
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { acc += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (elemIsLong) {
+      while (i < nx && j < ny) {
+        val c = java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        if (c == 0) { acc += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { acc += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     acc
   }
@@ -71,13 +90,16 @@ case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpr
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val acc = ctx.freshName("acc")
+      val cmp =
+        if (elemIsLong) s"java.lang.Long.compare($x.getLong($i), $y.getLong($j))"
+        else s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
       s"""
          |int $nx = $x.numElements();
          |int $ny = $y.numElements();
          |int $i = 0; int $j = 0;
          |long $acc = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  int $c = $cmp;
          |  if ($c == 0) { $acc++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

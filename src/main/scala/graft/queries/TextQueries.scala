@@ -165,6 +165,46 @@ object TextQueries {
         idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.5)
     },
 
+    // ---- n-gram (3-gram shingle) Jaccard near-dup join --------------------
+    // The shingle-level member of the dedup family: d2's token-SET
+    // Jaccard is insensitive to word order ("a b c" == "c b a"); the
+    // 3-gram variant keys on LOCAL ORDER, catching reshuffled
+    // boilerplate that token sets over-merge. Each document becomes
+    // its distinct 3-gram set (whole doc when shorter), each shingle
+    // ships as its xxhash64 (8 B regardless of shingle length — no
+    // shingle string is ever materialized, see shingleHashes), and the
+    // SAME adaptive JaccardJoin runs over the hashed sets. Jaccard over
+    // the hash sets equals Jaccard over the shingles themselves
+    // (collisions: ~|S|²/2⁶⁴), so the oracle computes it directly on
+    // the plain shingle strings. The shingle vocabulary is far larger
+    // than any token vocabulary, so this always probes into the PREFIX
+    // path at corpus scale — rare-shingle postings are the best-case
+    // candidate keys.
+    QueryDef.sql(
+      "d12_ngram_jaccard",
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    AS jaccard
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    >= 0.7""".stripMargin) { (s, d) =>
+      graft.operators.JaccardJoin.pairsOfSets(Tables.documents(s, d),
+        idCol = "doc_id", blockCol = "lang",
+        setCol = shingleHashes(tokens(col("text")), 3), threshold = 0.7)
+    },
+
     // ---- composed curation pipeline: exact-dedup keeper + quality gate --
     // The end-to-end training-data flow (dedup → filter → emit) as one
     // declarative plan: one shuffle for the keeper window, filters

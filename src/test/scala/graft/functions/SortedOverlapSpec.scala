@@ -40,6 +40,26 @@ class SortedOverlapSpec extends SparkSpec {
     assert(r == 2L)
   }
 
+  test("array<long> variant matches size(array_intersect); integer compare path") {
+    val rnd = new scala.util.Random(3)
+    def larr(n: Int): Seq[Long] = Seq.fill(n)(rnd.nextInt(500).toLong).distinct.sorted
+    val df = Seq.tabulate(200)(_ => (larr(40), larr(60))).toDF("a", "b")
+    val got = df.select(
+        SortedOverlap.overlapNative($"a", $"b").as("native"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, r) => assert(n == r, s"$n != $r") }
+    assert(got.exists(_._1 > 0), "fixture should produce non-trivial overlaps")
+  }
+
+  test("mixed array<string>/array<long> arguments fail analysis") {
+    val df = Seq((Seq("a"), Seq(1L))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(SortedOverlap.overlapNative($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("graft_overlap"))
+  }
+
   test("interpreted eval agrees with codegen") {
     val e = SortedOverlap(
       org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -97,6 +97,46 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("pairsOfSets over hashed 3-gram shingles matches brute force, both paths") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    // word order matters for shingles: doc 2 is a reshuffle of doc 0's
+    // tokens — token-set Jaccard would call them identical, the 3-gram
+    // join must not
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 40).map { i =>
+      val base = (0 until 10).map(j => s"w${(i / 4) * 3 + j}")
+      val words =
+        if (i % 4 == 0) base
+        else if (i % 4 == 1) base.updated(rnd.nextInt(10), s"u$i")
+        else if (i % 4 == 2) rnd.shuffle(base)
+        else (0 until 10).map(_ => s"r${rnd.nextInt(1000)}")
+      (i.toLong, "en", words.mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "lang", "text")
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+    }
+    val expect = (for {
+      (ia, _, ta) <- corpus; (ib, _, tb) <- corpus
+      if ia < ib && jac(ta, tb) >= 0.5
+    } yield (ia, ib, jac(ta, tb))).toSet
+    assert(expect.nonEmpty)
+    for (limit <- Seq(4096, 1)) { // bitmap and forced-prefix paths
+      val got = JaccardJoin.pairsOfSets(docs, "doc_id", "lang",
+          TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3),
+          threshold = 0.5, vocabLimit = limit)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == expect, s"vocabLimit=$limit")
+    }
+  }
+
   test("multi-word bitmap: vocab spanning >64 tokens still exact") {
     val wide = (0 until 3).map { i =>
       // 70-token docs over a 140-token vocabulary; doc 0 and 2 identical
