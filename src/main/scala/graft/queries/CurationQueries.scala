@@ -300,6 +300,76 @@ object CurationQueries {
           round(exp(-avg), 6).as("ppl"))
     },
 
+    // ---- bigram LM scoring (conditional-logprob quality filter) ----------
+    // t13's order-sensitive sibling: score each document by its average
+    // add-one-smoothed bigram log-probability ln((C(a,b)+1)/(C(a)+V))
+    // under a model estimated from the corpus itself — the signal that
+    // separates fluent text from bag-of-words scramble, which unigram
+    // ppl cannot. Scale shape: bigram counts are ONE partial-agg
+    // shuffle (the Generate is linear — 1 bigram per token), context
+    // counts reuse them, and the per-doc score join keys on the bigram
+    // pair; unlike t13's broadcast-able unigram vocab this stays a
+    // shuffle join by design (a web corpus' bigram table does not fit
+    // an executor). Numerics: counts are integers (exact), each ln
+    // rounds to 8, the per-doc sum folds over SORTED values (order-
+    // independent under any partitioning), ppl rounds to 6.
+    QueryDef.sql(
+      "t23_bigram_logprob",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS a, t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM tok WHERE len(t) >= 2)),
+        |cb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ctx FROM cb GROUP BY a),
+        |vv AS (SELECT CAST(count(DISTINCT x.term) AS BIGINT) AS v
+        |       FROM (SELECT unnest(t) AS term FROM tok) x),
+        |lp AS (
+        |  SELECT cb.a, cb.b,
+        |    round(ln(CAST(cb.c + 1 AS DOUBLE) / CAST(ca.ctx + vv.v AS DOUBLE)), 8)
+        |      AS logp
+        |  FROM cb JOIN ca USING (a) CROSS JOIN vv),
+        |dt AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY doc_id, a, b),
+        |ds AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(CAST(d.tf AS DOUBLE) * l.logp))), (x,y) -> x+y)
+        |      AS sum_logp
+        |  FROM dt d JOIN lp l ON d.a = l.a AND d.b = l.b GROUP BY d.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  sum_logp / CAST(n_bigrams AS DOUBLE) AS avg_logp,
+        |  round(exp(-(sum_logp / CAST(n_bigrams AS DOUBLE))), 6) AS ppl
+        |FROM ds""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      val bg = tok.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("doc_id"), element_at(col("t"), col("i")).as("a"),
+          element_at(col("t"), col("i") + 1).as("b"))
+      val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val ca = cb.groupBy("a").agg(sum(col("c")).as("ctx"))
+      val vv = tok.select(explode(col("t")).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+      val lp = cb.join(ca, "a").crossJoin(broadcast(vv))
+        .select(col("a"), col("b"),
+          round(log((col("c") + lit(1L)).cast("double") /
+            (col("ctx") + col("v")).cast("double")), 8).as("logp"))
+      val dt = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+      val avg = col("sum_logp") / col("n_bigrams").cast("double")
+      dt.join(lp, Seq("a", "b"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf")).as("n_bigrams"),
+          aggregate(sort_array(collect_list(col("tf").cast("double") * col("logp"))),
+            lit(0.0), (x, y) => x + y).as("sum_logp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          avg.as("avg_logp"),
+          round(exp(-avg), 6).as("ppl"))
+    },
+
     // ---- lexical diversity (type-token ratio + hapax count) --------------
     // Quality signal complementing t2/t7: vocabulary richness per
     // document. Shaped for scale: one explode → one (doc_id, term)

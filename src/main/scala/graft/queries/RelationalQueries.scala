@@ -1190,6 +1190,61 @@ object RelationalQueries {
             sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("corr_len_vocab"))
     },
 
+    // ---- A17: grouped OLS regression (sufficient statistics) -------------
+    // Per-group simple linear regression y = slope·x + intercept with
+    // fit quality r² — the per-segment trend fit behind every
+    // drift/calibration dashboard (here: price vs quantity per return
+    // flag). Same exact-moment discipline as a16: x is integral, y is
+    // a 2-dp price, so all five moments accumulate exactly in DECIMAL
+    // (order-independent under any partitioning); slope, intercept and
+    // r² are straight-line double expressions over the moments, rounded
+    // to 6. ONE partial-aggregated shuffle over ≤ #flags groups — the
+    // canonical sufficient-statistics scale shape (the 100 TB plan is
+    // identical: map-side partials, 3-row final).
+    QueryDef.sql(
+      "a17_grouped_regression",
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM f GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+      val m = f.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 2))).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).cast("double").as("syy"))
+      val n = col("n").cast("double")
+      val sxy = n * col("sxy") - col("sx") * col("sy")
+      val sxx = n * col("sxx") - col("sx") * col("sx")
+      val syy = n * col("syy") - col("sy") * col("sy")
+      m.filter(sxx > 0 && syy > 0)
+        .select(col("l_returnflag"), col("n"),
+          round(sxy / sxx, 6).as("slope"),
+          round((col("sy") - (sxy / sxx) * col("sx")) / n, 6).as("intercept"),
+          round((sxy * sxy) / (sxx * syy), 6).as("r2"))
+    },
+
     // ---- W5: winsorization (percentile clipping before training) ---------
     // Feature-prep: clip each segment's values into its [p05, p95] so
     // heavy tails don't dominate a loss. Exact interpolated percentiles
@@ -1302,6 +1357,64 @@ object RelationalQueries {
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    },
+
+    // ---- U11: SCD Type-2 dimension build (validity intervals) -------------
+    // The slowly-changing-dimension table every warehouse derives from
+    // a change log: per key, consecutive same-state rows coalesce into
+    // one VERSION with [valid_from, valid_to) interval; the open
+    // version (valid_to NULL) is current. Classic gaps-and-islands:
+    // lag() marks state changes, a running ROWS-frame sum numbers the
+    // islands, one aggregate collapses them, lead() closes the
+    // intervals. Scale shape: every window partitions by user_id (the
+    // natural key) — no global window, no skew (per-user history is
+    // bounded); the whole build is ONE shuffle on user_id reused by
+    // all three window steps plus the aggregate.
+    QueryDef.sql(
+      "u11_scd2_intervals",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_state
+        |  FROM events),
+        |v AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev_state IS NULL
+        |        OR prev_state <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS version
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, version,
+        |    min(event_type) AS state,
+        |    min(ts) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |    AS is_current,
+        |  n_events
+        |FROM g""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byEvent = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      val o = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_state", lag(col("event_type"), 1).over(byEvent))
+      val v = o.withColumn("version",
+        sum(when(col("prev_state").isNull || col("prev_state") =!= col("event_type"), 1L)
+          .otherwise(0L))
+          .over(byEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = v.groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      g.select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        lead(col("valid_from"), 1).over(byVersion).as("valid_to"),
+        lead(col("valid_from"), 1).over(byVersion).isNull.as("is_current"),
+        col("n_events"))
     }
   )
 }

@@ -89,6 +89,86 @@ object TextQueries {
         size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("int").as("n_punct"))
     },
 
+    // ---- Gopher-style rule filter (published quality heuristics) -----
+    // The rule battery from the Gopher corpus pipeline (Rae et al.
+    // 2021, §A1.1), the standard pre-LM document gate: word-count
+    // bounds, mean-word-length band, symbol-to-word ratio, bullet-line
+    // fraction, alphabetic-word fraction, and a stopword floor. All
+    // pure scan-stage Column algebra (one pass, no shuffle, no UDF) —
+    // at 100 TB this runs at parquet-scan speed and is exactly the
+    // filter you'd fuse with ingest. Each signal is reported alongside
+    // the composite verdict so thresholds stay auditable. Ratio
+    // doubles: identical op order both engines, round 6; the PASS
+    // predicate compares the UNROUNDED ratios in both.
+    QueryDef.sql(
+      "t24_gopher_rules",
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT)
+        |      AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x))) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, x -> ltrim(x) LIKE '-%'
+        |      OR ltrim(x) LIKE '*%' OR ltrim(x) LIKE chr(8226) || '%')) AS BIGINT)
+        |      AS n_bullet
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+        |  round(CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
+        |  round(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_frac,
+        |  round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+        |  n_stop,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+        |    AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9
+        |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+        |    AND n_stop >= 2) AS pass
+        |FROM f WHERE n_words > 0""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val lines = split(col("text"), "\n")
+      val bullet = (l: org.apache.spark.sql.Column) => ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*") || ltrim(l).startsWith("•")
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+          .as("n_chars"),
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+          .as("n_symbols"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(toks, t => t.isin("the", "be", "to", "of", "and", "that",
+          "have", "with"))).cast("long").as("n_stop"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, bullet)).cast("long").as("n_bullet"))
+      val nw = col("n_words").cast("double")
+      val meanLen = col("n_chars").cast("double") / nw
+      val symRatio = col("n_symbols").cast("double") / nw
+      val bulletFrac = col("n_bullet").cast("double") / col("n_lines").cast("double")
+      val alphaFrac = col("n_alpha").cast("double") / nw
+      f.filter(col("n_words") > 0).select(col("doc_id"), col("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_ratio"),
+        round(bulletFrac, 6).as("bullet_frac"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        col("n_stop"),
+        (col("n_words").between(50L, 100000L)
+          && meanLen.between(3.0, 10.0)
+          && symRatio < 0.1
+          && bulletFrac < 0.9
+          && alphaFrac > 0.8
+          && col("n_stop") >= 2L).as("pass"))
+    },
+
     // ---- language-ID (marker-token heuristic, deterministic argmax) --
     QueryDef.sql(
       "t3_langid_markers",
