@@ -979,26 +979,39 @@ object TextQueries {
     },
 
     // ---- containment join, PREFIX plan under the gate ----------------------
-    // d11 probes this corpus' bounded vocabulary into the bitmap path;
-    // this twin forces the rare-token-prefix plan (`vocabLimit = 1` —
-    // every vocabulary is "large") so the plan a 100 TB web corpus
-    // would take is ALSO hash-checked against the same brute-force
-    // oracle. Both paths must emit the identical pair set; PlanAudit
-    // and JaccardJoinSpec pin the plan difference, this pins the
-    // result at gate scale.
+    // d11 probes this corpus' bounded token vocabulary into the bitmap
+    // path; this twin hash-checks the rare-prefix plan — and does it on
+    // the input that plan exists FOR: 3-gram shingle-hash sets (27k+
+    // distinct shingles at sf0.1 — web-corpus vocabulary shape, short
+    // postings, bounded candidates), where directional containment is
+    // the passage-quotation detector ("a's n-grams mostly inside b").
+    // `vocabLimit = 1` keeps the prefix plan forced at every sf so the
+    // gate never silently probes into the bitmap branch. The earlier
+    // formulation forced the prefix plan onto the 31-token space-split
+    // vocabulary, where prefix filtering provably degenerates (3.4M
+    // candidates ≈ all pairs — 8.5 s of candidate explosion for the
+    // same 1.17M d11 rows the bitmap path emits in 2.4 s).
     QueryDef.sql(
       "d11b_containment_prefix",
       """WITH t AS (
-        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
-        |  FROM documents)
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / CAST(len(a.toks) AS DOUBLE) AS containment
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / CAST(len(a.toks) AS DOUBLE) >= 0.95""".stripMargin) { (s, d) =>
-      graft.operators.JaccardJoin.containmentPairs(Tables.documents(s, d),
-        idCol = "doc_id", blockCol = "lang", textCol = "text", threshold = 0.95,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(len(a.sh) AS DOUBLE) AS containment
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(len(a.sh) AS DOUBLE) >= 0.8""".stripMargin) { (s, d) =>
+      graft.operators.JaccardJoin.containmentPairsOfSets(Tables.documents(s, d),
+        idCol = "doc_id", blockCol = "lang",
+        setCol = shingleHashes(tokens(col("text")), 3), threshold = 0.8,
         vocabLimit = 1)
     },
 
