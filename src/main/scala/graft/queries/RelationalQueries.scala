@@ -1415,6 +1415,70 @@ object RelationalQueries {
         lead(col("valid_from"), 1).over(byVersion).as("valid_to"),
         lead(col("valid_from"), 1).over(byVersion).isNull.as("is_current"),
         col("n_events"))
+    },
+
+    // ---- EV17: first/last-touch attribution --------------------------------
+    // Conversion attribution: for each purchase, the view/click/signup
+    // touches in the preceding 24 h window, credited first-touch and
+    // last-touch. The touch↔conversion association is a point-in-
+    // interval join, planned through operators.RangeJoin's bucketized
+    // equi-join (one shuffle on (user_id, bucket)) — NOT the theta
+    // join Spark would nested-loop. First/last selection is a pair of
+    // rank windows per conversion whose rn=1 bound pushes below the
+    // sort (WindowGroupLimit) — per-conversion touch lists never
+    // globally sort. Ties break on (ts, touch_id) both engines.
+    QueryDef.sql(
+      "ev17_attribution",
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS channel, ts
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (
+        |  SELECT c.user_id, c.conv_id, c.conv_ts, t.channel, t.ts, t.touch_id
+        |  FROM conv c JOIN tch t ON c.user_id = t.user_id
+        |   AND t.ts >= c.conv_ts - INTERVAL 24 HOUR AND t.ts < c.conv_ts),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY ts, touch_id) AS rf,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, touch_id DESC)
+        |      AS rl
+        |  FROM j)
+        |SELECT user_id, conv_id, conv_ts,
+        |  max(channel) FILTER (WHERE rf = 1) AS first_channel,
+        |  max(ts) FILTER (WHERE rf = 1) AS first_ts,
+        |  max(channel) FILTER (WHERE rl = 1) AS last_channel,
+        |  max(ts) FILTER (WHERE rl = 1) AS last_ts,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM r GROUP BY user_id, conv_id, conv_ts""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val windowUs = 24L * 3600 * 1000000
+      val conv = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"),
+        (unix_micros(col("ts")) - windowUs).as("lo_us"),
+        unix_micros(col("ts")).as("hi_us"))
+      val tch = ev.filter(col("event_type").isin("view", "click", "signup")).select(
+        col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts"),
+        unix_micros(col("ts")).as("p_us"))
+      val j = graft.operators.RangeJoin.pointInInterval(tch, conv, Seq("user_id"),
+          "p_us", "lo_us", "hi_us", bucketWidth = windowUs)
+        .select(col("user_id"), col("conv_id"), col("conv_ts"),
+          col("channel"), col("ts"), col("touch_id"))
+      val wf = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("touch_id"))
+      val wl = Window.partitionBy(col("conv_id")).orderBy(col("ts").desc, col("touch_id").desc)
+      j.withColumn("rf", row_number().over(wf))
+        .withColumn("rl", row_number().over(wl))
+        .groupBy(col("user_id"), col("conv_id"), col("conv_ts"))
+        .agg(
+          max(when(col("rf") === 1, col("channel"))).as("first_channel"),
+          max(when(col("rf") === 1, col("ts"))).as("first_ts"),
+          max(when(col("rl") === 1, col("channel"))).as("last_channel"),
+          max(when(col("rl") === 1, col("ts"))).as("last_ts"),
+          count(lit(1)).as("n_touches"))
     }
   )
 }

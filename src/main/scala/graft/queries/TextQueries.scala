@@ -913,6 +913,53 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram")).limit(20)
     },
 
+    // ---- BPE merge learning (tokenizer vocabulary construction) -----------
+    // The iterative Sennrich BPE recurrence under the exact-hash gate:
+    // 8 rounds of (pair-count shuffle → deterministic argmax → fold-
+    // apply), bit-reproducible because counts are integers and the
+    // argmax tie-breaks on (count DESC, pair ASC) — the same
+    // fixed-point discipline that put PageRank (d7) under the oracle.
+    // Round 6+ merges multi-char symbols ('m'+'er', 'p'+'ar' on this
+    // corpus), so the oracle exercises the true recurrence, not just
+    // ranked character bigrams. The DuckDB oracle unrolls the 8 rounds
+    // as chained CTEs over the same list-fold. See operators.BpeTrainer
+    // for the scale analysis (state = distinct-word table, corpus
+    // scanned once).
+    QueryDef.sql(
+      "t25_bpe_merges", {
+        val stage = (i: Int) => {
+          val p = i - 1
+          s"""pc$i AS (
+             |  SELECT w[j] AS a, w[j+1] AS b, CAST(sum(f) AS BIGINT) AS c
+             |  FROM (SELECT w, f, unnest(range(1, len(w))) AS j
+             |        FROM wr$p WHERE len(w) >= 2)
+             |  GROUP BY a, b),
+             |mg$i AS (SELECT a AS ma, b AS mb, c AS mc FROM pc$i
+             |         ORDER BY c DESC, a, b LIMIT 1),
+             |wr$i AS (
+             |  SELECT CASE WHEN len(w) < 2 THEN w ELSE
+             |    list_reduce(list_transform(w, x -> [x]), (acc, cur) ->
+             |      CASE WHEN acc[-1] = ma AND cur[1] = mb
+             |        THEN list_append(acc[1:len(acc)-1], ma || mb)
+             |        ELSE list_append(acc, cur[1]) END) END AS w, f
+             |  FROM wr$p CROSS JOIN mg$i)""".stripMargin
+        }
+        val header =
+          s"""WITH wf AS (
+             |  SELECT term AS word, CAST(count(*) AS BIGINT) AS f
+             |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+             |        FROM documents)
+             |  GROUP BY term),
+             |wr0 AS (SELECT string_split(word, '') AS w, f FROM wf),""".stripMargin
+        val tail = (1 to 8).map(i =>
+          if (i == 1) s"SELECT 1 AS step, ma AS left_sym, mb AS right_sym, mc AS pair_count FROM mg1"
+          else s"UNION ALL SELECT $i, ma, mb, mc FROM mg$i").mkString("\n")
+        header + "\n" + (1 to 8).map(stage).mkString(",\n") +
+          s"\nSELECT * FROM (\n$tail) ORDER BY step"
+      }) { (s, d) =>
+      graft.operators.BpeTrainer.learnMerges(s, Tables.documents(s, d), "text", k = 8)
+    },
+
     // ---- duplicated text spans (substring-dedup map side) -----------------
     // Cross-document repeated 16-token windows — the detection half of
     // substring-level dedup (the removal half needs per-doc span
