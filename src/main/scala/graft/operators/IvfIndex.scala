@@ -251,6 +251,91 @@ object IvfIndex {
     staged.select((col("vec_id") +: codes) :+ reconMse.as("recon_mse"): _*)
   }
 
+  /** IVF-PQ retrieval with asymmetric-distance (ADC) shortlisting and
+    * exact re-rank — the composition of [[search]]'s coarse index and
+    * [[productQuantize]]'s codebooks into the pipeline production ANN
+    * systems actually run at scale:
+    *
+    *  1. **Index** (built once): each corpus vector stores its coarse
+    *     cell id + `m` PQ codes — m·log2(k) BITS of payload
+    *     (m=8, k=16 → 4 bytes/vector vs 256 for float32×64). The
+    *     at-rest 100 TB representation: embeddings are NOT carried in
+    *     the scan.
+    *  2. **ADC scan**: each query probes its `nprobe` nearest cells;
+    *     per subspace it carries a k-entry distance table (query
+    *     subvector ↔ codebook centroids, a pure projection over the
+    *     literal codebook), and a candidate's approximate distance is
+    *     m table lookups + adds — no vector math per candidate.
+    *  3. **Refine**: the ADC top (k·refine) per query (WindowGroupLimit-
+    *     bounded) joins back to the corpus for full vectors; exact
+    *     cosine re-ranks to the final top-k. Only k·refine rows per
+    *     query ever touch an embedding.
+    *
+    * Approximate (cell probing + PQ distortion bound recall — measured
+    * in IvfIndexSpec); the returned `cosine` values are EXACT, because
+    * the final ranking is the re-rank.
+    */
+  def ivfpqSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                  numCells: Int = 16, nprobe: Int = 4,
+                  m: Int = 8, codebookK: Int = 16,
+                  refine: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = embOf(corpus)
+    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val coarse = fit(emb, numCells, iters)
+    val books: Seq[Model] = fitPQ(emb, m, sub, codebookK, iters).map { fitted =>
+      fitted.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toArray
+    }
+
+    val codeCols = (0 until m).map { s =>
+      array_min(distStructs(slice(col("emb"), s * sub + 1, sub), books(s)))
+        .getField("cid").cast("int").as(s"code_$s")
+    }
+    val index = emb.select(
+      Seq(nearestExpr(col("emb"), coarse).as("cell"),
+        col("vec_id").as("neighbor_id")) ++ codeCols: _*)
+
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+        VectorOps.toDouble(col("embedding")).as("q_emb"))
+      .filter(col("query_id").isNotNull && col("q_emb").isNotNull)
+    // per-subspace ADC tables: k distances in CODE order (books are
+    // renumbered 0..k-1, and distStructs preserves model order)
+    val adcCols = (0 until m).map { s =>
+      transform(distStructs(slice(col("q_emb"), s * sub + 1, sub), books(s)),
+        e => e.getField("d")).as(s"adc_$s")
+    }
+    val probes = q.select(Seq(col("query_id"), col("q_emb"),
+        explode(slice(array_sort(distStructs(col("q_emb"), coarse)), 1, nprobe))
+          .as("p")) ++ adcCols: _*)
+      .select(Seq(col("query_id"), col("q_emb"),
+        col("p").getField("cid").as("cell")) ++
+        (0 until m).map(s => col(s"adc_$s")): _*)
+
+    // fixed s = 0..m-1 add order → deterministic doubles
+    val adcDist = (0 until m)
+      .map(s => element_at(col(s"adc_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val cand = index.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"), adcDist.as("adc"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val shortlist = cand.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * refine)
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
+
+    val nb = emb.select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"))
+      .withColumn("n_nrm", VectorOps.l2Norm(col("n_emb")))
+    val exact = shortlist.join(nb, "neighbor_id")
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_emb")))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosinePre(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rnk", rank().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: every vector is
     * assigned to its nearest IVF cell (driver-side k-means model — one
     * literal node, assignment is a pure projection) and pairs with

@@ -106,6 +106,18 @@ object VectorQueries {
         k = 5, numCells = 16, nprobe = 4)
     },
 
+    // ---- IVF-PQ + ADC + exact re-rank (production ANN pipeline) -----------
+    // The full compressed-retrieval stack: coarse cell probe → ADC
+    // shortlist over 4-byte PQ codes (no embedding bytes in the scan)
+    // → exact cosine re-rank of k·refine candidates. Recall and
+    // re-rank exactness quantified in IvfIndexSpec; rows-only (the
+    // k-means/PQ models are not SQL-expressible).
+    QueryDef.rowsOnly("v11_ivfpq_search") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.ivfpqSearch(emb.filter(col("vec_id") < 20), emb,
+        k = 5, numCells = 16, nprobe = 4, m = 8, codebookK = 16, refine = 4)
+    },
+
     // ---- embedding whitening (per-dimension standardization) -------------
     // The preprocessing step before PQ/IVF training: every dimension is
     // centered and scaled by its corpus std. Moments are order-

@@ -43,6 +43,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@5 = $recall")
   }
 
+  test("ivfpqSearch: recall@5 >= 0.8; returned cosines exact; deterministic") {
+    val emb = VectorFixtures.clustered.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 8L)
+    def run() = IvfIndex.ivfpqSearch(queries, emb, k = 5,
+      numCells = 8, nprobe = 2, m = 8, codebookK = 8, refine = 4)
+    val r1 = run().select("query_id", "neighbor_id", "rnk", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // recall vs exact kNN despite the 4-byte-code ADC shortlist
+    val exact = VectorFixtures.groupNeighbors(VectorOps.knnBrute(queries, emb, k = 5))
+    val recall = VectorFixtures.recall(exact, r1.groupBy(_._1).map {
+      case (q, rows) => q -> rows.map(_._2).toSet
+    })
+    assert(recall >= 0.8, s"IVF-PQ recall@5 = $recall")
+    // the re-rank is exact: every returned cosine equals brute force's
+    val brute = VectorOps.knnBrute(queries, emb, k = 1000)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    r1.foreach { case (q, n, _, c) =>
+      assert(brute((q, n)) == c, s"cosine for ($q,$n) not exact") }
+    // deterministic under re-execution
+    val r2 = run().select("query_id", "neighbor_id", "rnk", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(r1 == r2)
+  }
+
   test("semanticNearDup: zero false positives, recall >= 0.8 vs exact pairs") {
     val emb = VectorFixtures.clustered.toDF("vec_id", "embedding", "label")
     val e = emb.select($"vec_id", VectorOps.toDouble($"embedding").as("emb"))
