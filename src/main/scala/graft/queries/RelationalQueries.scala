@@ -1245,6 +1245,147 @@ object RelationalQueries {
           round((sxy * sxy) / (sxx * syy), 6).as("r2"))
     },
 
+    // ---- A18: co-purchase graph triangles + clustering coefficient -------
+    // Market-basket graph analytics: parts are nodes, an edge means
+    // "co-occurred in ≥ 2 orders" (per-order pair generation is bounded
+    // by basket size — C(7,2) rows/order, linear — and the support
+    // floor prunes before any graph work). Triangles are counted with
+    // DEGREE-ORDERED ORIENTATION: every edge points from its
+    // (deg, id)-smaller endpoint, wedges are enumerated only at each
+    // triangle's ≺-minimum vertex, and the closing edge is probed in
+    // that same canonical direction — candidate wedges are bounded by
+    // Σ deg_out², the arboricity bound that keeps hub nodes from
+    // exploding the join (the naive all-orders wedge join is Σ deg²).
+    // The oracle counts the SAME triangle set via the naive a<b<c
+    // 3-way self-join — orientation is a physical choice, invisible in
+    // the result. Per-node clustering coefficient = 2T/deg(deg−1),
+    // fixed op order, round 6.
+    QueryDef.sql(
+      "a18_triangle_count",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+        |  GROUP BY id),
+        |tri AS (
+        |  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+        |  FROM p e1 JOIN p e2 ON e1.id_b = e2.id_a
+        |  JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |tn AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT x AS id FROM tri
+        |        UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri)
+        |  GROUP BY id)
+        |SELECT d.id AS part_id, d.deg,
+        |  coalesce(tn.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    round(CAST(2 * coalesce(tn.n_triangles, 0) AS DOUBLE)
+        |      / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+        |FROM deg d LEFT JOIN tn ON d.id = tn.id""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pa = op.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+      val pb = op.select(col("l_orderkey"), col("l_partkey").as("id_b"))
+      val p = pa.join(pb, "l_orderkey").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("id_a", "id_b")
+      // node table ≪ edge list → broadcast degrees (d6/d7's trade)
+      val deg = p.select(col("id_a").as("id")).unionAll(p.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val e = p
+        .join(broadcast(deg.select(col("id").as("id_a"), col("deg").as("deg_a"))), "id_a")
+        .join(broadcast(deg.select(col("id").as("id_b"), col("deg").as("deg_b"))), "id_b")
+      val aFirst = struct(col("deg_a"), col("id_a")) < struct(col("deg_b"), col("id_b"))
+      val o = e.select(
+        when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(aFirst, struct(col("deg_b").as("deg"), col("id_b").as("id")))
+          .otherwise(struct(col("deg_a").as("deg"), col("id_a").as("id"))).as("dst_key"))
+      val o1 = o.select(col("src"), col("dst").as("x"), col("dst_key").as("xk"))
+      val o2 = o.select(col("src"), col("dst").as("y"), col("dst_key").as("yk"))
+      val wedges = o1.join(o2, "src").filter(col("xk") < col("yk"))
+        .select(col("src"), col("x"), col("y"))
+      val closing = o.select(col("src").as("x"), col("dst").as("y"))
+      val tri = wedges.join(closing, Seq("x", "y"))
+      val tn = tri.select(col("src").as("id"))
+        .unionAll(tri.select(col("x").as("id")))
+        .unionAll(tri.select(col("y").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      deg.join(tn, Seq("id"), "left")
+        .select(col("id").as("part_id"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("deg") >= 2,
+            round((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"), 6))
+            .otherwise(lit(0.0)).as("clustering_coeff"))
+    },
+
+    // ---- A19: market-basket association rules (support/confidence/lift) --
+    // The classic co-occurrence miner over the same bounded pair space
+    // as a18: per-order pair generation is C(basket,2) rows — linear in
+    // orders — and the support≥2 floor prunes before any rule math.
+    // Each surviving unordered pair emits BOTH directional rules
+    // ant→cons; confidence = co/cnt(ant), lift = co·N/(cnt(ant)·cnt(cons)).
+    // Item counts are a tiny per-part table → broadcast back onto the
+    // pair stream (twice); the corpus total N ships as a one-row
+    // broadcast. All ratios are one bigint-exact product each side of a
+    // single double division, round 6 — bit-identical cross-engine.
+    QueryDef.sql(
+      "a19_assoc_rules",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+        |item AS (
+        |  SELECT l_partkey AS id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM op GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir AS (
+        |  SELECT id_a AS ant, id_b AS cons, co FROM pr
+        |  UNION ALL
+        |  SELECT id_b AS ant, id_a AS cons, co FROM pr)
+        |SELECT d.ant, d.cons, d.co AS support,
+        |  round(CAST(d.co AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+        |  round(CAST(d.co * n.n_orders AS DOUBLE)
+        |    / CAST(ia.cnt * ic.cnt AS DOUBLE), 6) AS lift
+        |FROM dir d
+        |JOIN item ia ON d.ant = ia.id
+        |JOIN item ic ON d.cons = ic.id
+        |CROSS JOIN n""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val item = op.groupBy(col("l_partkey").as("id"))
+        .agg(count(lit(1)).as("cnt"))
+      val pa = op.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+      val pb = op.select(col("l_orderkey"), col("l_partkey").as("id_b"))
+      val pr = pa.join(pb, "l_orderkey").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val dir = pr.select(col("id_a").as("ant"), col("id_b").as("cons"), col("co"))
+        .unionAll(pr.select(col("id_b").as("ant"), col("id_a").as("cons"), col("co")))
+      dir
+        .join(broadcast(item.select(col("id").as("ant"), col("cnt").as("cnt_a"))), "ant")
+        .join(broadcast(item.select(col("id").as("cons"), col("cnt").as("cnt_c"))), "cons")
+        .crossJoin(broadcast(n))
+        .select(col("ant"), col("cons"), col("co").as("support"),
+          round(col("co").cast("double") / col("cnt_a").cast("double"), 6)
+            .as("confidence"),
+          round((col("co") * col("n_orders")).cast("double") /
+            (col("cnt_a") * col("cnt_c")).cast("double"), 6).as("lift"))
+    },
+
     // ---- W5: winsorization (percentile clipping before training) ---------
     // Feature-prep: clip each segment's values into its [p05, p95] so
     // heavy tails don't dominate a loss. Exact interpolated percentiles
