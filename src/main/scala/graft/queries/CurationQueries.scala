@@ -450,6 +450,45 @@ object CurationQueries {
         col("total_tokens"),
         round(lit(1.0) - col("total_tokens").cast("double") /
           (nBatches.cast("double") * lit(4096.0)), 6).as("pad_frac"))
+    },
+
+    // ---- Z-order (Morton) clustering key --------------------------------
+    // Data-LAYOUT operator: functions.ZOrder interleaves two join/filter
+    // keys into one clustering value; writing the table
+    // repartitionByRange(zval) + sortWithinPartitions makes parquet
+    // min/max stats prune box predicates on EITHER key (ZOrderSpec
+    // measures the skipping on real files; Delta/Iceberg Z-ORDER, as a
+    // plain Column tree). The oracle recomputes the interleave with the
+    // same mask-and-shift doublings — pure integer bitwise arithmetic,
+    // bit-identical cross-engine. Scan-stage projection, zero shuffle.
+    QueryDef.sql(
+      "c11_zorder_key",
+      """WITH t0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y
+        |  FROM lineitem),
+        |t1 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (x | (x << 16)) & 281470681808895 AS x,
+        |  (y | (y << 16)) & 281470681808895 AS y FROM t0),
+        |t2 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (x | (x << 8)) & 71777214294589695 AS x,
+        |  (y | (y << 8)) & 71777214294589695 AS y FROM t1),
+        |t3 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (x | (x << 4)) & 1085102592571150095 AS x,
+        |  (y | (y << 4)) & 1085102592571150095 AS y FROM t2),
+        |t4 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (x | (x << 2)) & 3689348814741910323 AS x,
+        |  (y | (y << 2)) & 3689348814741910323 AS y FROM t3),
+        |t5 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (x | (x << 1)) & 6148914691236517205 AS x,
+        |  (y | (y << 1)) & 6148914691236517205 AS y FROM t4)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  x | (y << 1) AS zval
+        |FROM t5""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder.interleave(col("l_partkey"), col("l_suppkey"))
+          .as("zval"))
     }
   )
 }

@@ -1620,6 +1620,53 @@ object RelationalQueries {
           max(when(col("rl") === 1, col("channel"))).as("last_channel"),
           max(when(col("rl") === 1, col("ts"))).as("last_ts"),
           count(lit(1)).as("n_touches"))
+    },
+
+    // ---- EV18: time-series gap-fill + forward fill (resample) -------------
+    // Metric resampling: 5-minute buckets per event_type, a dense grid
+    // generated from each key's [min, max] bucket (explode of a tiny
+    // per-key aggregate — never a driver loop), observed aggregates
+    // left-joined on, and missing buckets forward-filled with
+    // last(v, ignoreNulls) over an UNBOUNDED PRECEDING row frame.
+    // Buckets are integer-µs arithmetic (no float epoch). At 100 TB the
+    // fill window partitions by key — per-key sequential is inherent to
+    // forward fill, and parallelism = #keys, not corpus size. Sums go
+    // through DECIMAL so grid totals are order-independent.
+    QueryDef.sql(
+      "ev18_gapfill",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 300000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+        |      FROM r)
+        |SELECT g.event_type, g.bucket,
+        |  make_timestamp(g.bucket * 300000000) AS bucket_ts,
+        |  coalesce(b.n_obs, 0) AS n_obs, b.v AS v,
+        |  last_value(b.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM g LEFT JOIN b
+        |  ON g.event_type = b.event_type AND g.bucket = b.bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 300000000").as("bucket"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      val g = b.groupBy("event_type")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.join(b, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          timestamp_micros(col("bucket") * lit(300000000L)).as("bucket_ts"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
     }
   )
 }
