@@ -306,6 +306,33 @@ object StreamingQueries {
           .select(col("event_id"), col("user_id"),
             col("c_mktsegment").as("segment")))
         .filter(col("user_id") >= 0)
+    },
+
+    // CHAINED stateful operators — two windowed aggregations in ONE
+    // streaming query (5-min pre-agg → hourly rollup of the buckets),
+    // the multiple-stateful-operator pipeline shape. One watermark
+    // drives eviction AND emission cascade through both stores: the
+    // flush advances it past the data, the fine agg emits its closed
+    // buckets, and the coarse agg — fed those emissions in the same
+    // micro-batch — closes its hours against the same watermark.
+    // Oracle: start-based integer-µs bucketing at both grains (inner
+    // duration divides outer, so span-based assignment is identical).
+    QueryDef.sql(
+      "ev19s_chained_windows_stream",
+      """WITH b AS (
+        |  SELECT epoch_us(ts) // 300000000 AS b5, event_type,
+        |    CAST(count(*) AS BIGINT) AS n5,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v5
+        |  FROM events GROUP BY 1, 2)
+        |SELECT make_timestamp(b5 // 12 * 3600000000) AS hour_bucket,
+        |  event_type,
+        |  CAST(SUM(n5) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(n5) AS BIGINT) AS max_bucket_n,
+        |  CAST(SUM(v5) AS DOUBLE) AS total_value
+        |FROM b GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      staged(s, d, "ev19s_out")(EventStreams.chainedRollup)
+        .filter(col("event_type") =!= FlushType)
     }
   )
 }

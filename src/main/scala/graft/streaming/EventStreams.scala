@@ -94,6 +94,30 @@ object EventStreams {
                     streamKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** CHAINED stateful aggregations in one streaming query: a 5-minute
+    * tumbling pre-aggregate feeding an hourly rollup of those buckets
+    * (`window(window_col, ...)` — multiple-stateful-operator support).
+    * This is the streaming shape of every rollup cube: the fine-grain
+    * agg bounds the coarse one's input to #buckets rows instead of raw
+    * events, and BOTH levels' state is evicted by the single upstream
+    * watermark as it propagates through the pipeline. The inner window
+    * duration divides the outer, so outer assignment (from the inner
+    * window's span) equals start-based bucketing — what the batch
+    * oracle computes with integer-µs arithmetic.
+    */
+  def chainedRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes").as("w5"), col("event_type"))
+      .agg(count(lit(1)).as("n5"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v5"))
+      .groupBy(window(col("w5"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("n5")).as("n"), count(lit(1)).as("n_buckets"),
+        max(col("n5")).as("max_bucket_n"),
+        sum(col("v5")).cast("double").as("total_value"))
+      .select(col("w.start").as("hour_bucket"), col("event_type"),
+        col("n"), col("n_buckets"), col("max_bucket_n"), col("total_value"))
+
   /** Open-session aggregate — the ONLY per-key state the streaming
     * sessionizer keeps. O(1) per user regardless of session length;
     * a hot key costs the same as a cold one (the 100 TB requirement —

@@ -40,6 +40,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(_._2 == "click"))
   }
 
+  test("chainedRollup runs TWO stateful operators and matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.5, "{}"),   // hour 0, bucket 0
+      Event(2, ts(3), 2, "click", 2.25, "{}"),  // hour 0, bucket 0
+      Event(3, ts(17), 1, "click", 4.0, "{}"),  // hour 0, bucket 3
+      Event(4, ts(65), 2, "view", 8.0, "{}"),   // hour 1
+      Event(5, ts(70), 1, "click", 16.0, "{}")) // hour 1
+
+    val mem = MemoryStream[Event]
+    val q = chainedRollup(mem.toDF())
+      .writeStream.format("memory").queryName("chained_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(600), 9, "flush", 0.0, "{}"))
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+
+    // the pipeline must hold BOTH aggregation state stores
+    assert(progress.stateOperators.length == 2,
+      progress.stateOperators.map(_.operatorName).mkString(","))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val streamed = spark.table("chained_out")
+      .filter($"event_type" =!= "flush").collect().map(key).toSet
+    val batch = chainedRollup(events.toDF()).collect().map(key).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // 5-min pre-agg really fed the hour: the click hour holds 3 events
+    // spread over 3 distinct buckets (n_buckets would be meaningless
+    // if the outer agg saw raw events instead of inner windows)
+    assert(batch.exists(r => r._2 == "click" && r._3 == 3L && r._4 == 3L))
+  }
+
   test("stream-static enrichWithDim matches the batch join and keeps no state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
