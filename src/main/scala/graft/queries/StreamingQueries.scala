@@ -160,6 +160,36 @@ object StreamingQueries {
         .filter(col("user_id") >= 0)
     },
 
+    // FULL-outer stream-stream interval join — completes the join-mode
+    // matrix (ev4s inner, ev10s left-outer): BOTH buffers now emit on
+    // expiry, so an error no click ever lands in surfaces as
+    // (user, NULL, err_id) and an unmatched click as (user, click_id,
+    // NULL) — each released only when its side's watermark proves no
+    // future partner can arrive. The join key must be COALESCED across
+    // sides (right-unmatched rows have a NULL left key). Flush rows
+    // ride both inputs (they advance both watermarks) and leave as
+    // user_id < 0 — unmatched or flush×flush-matched — dropped at the
+    // sink.
+    QueryDef.sql(
+      "ev20s_full_outer_join_stream",
+      """WITH err AS (
+        |  SELECT user_id, event_id AS err_id, ts AS lo
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS click_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT COALESCE(c.user_id, e.user_id) AS user_id, c.click_id, e.err_id
+        |FROM clk c FULL JOIN err e
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.lo AND c.ts < e.lo + INTERVAL 4 HOUR""".stripMargin) { (s, d) =>
+      staged(s, d, "ev20s_out")(src =>
+        EventStreams.errorWindowJoin(
+          src.filter(col("event_type") === "click" || col("event_type") === FlushType),
+          src.filter(col("event_type") === "error" || col("event_type") === FlushType),
+          windowMinutes = 240, joinType = "full_outer"))
+        .filter(col("user_id") >= 0)
+    },
+
     // Built-in session_window under streaming state — the session-merge
     // state store (sessions start per event, merge when they overlap),
     // a THIRD stateful mechanism beside windowed agg (ev1s/ev9s) and

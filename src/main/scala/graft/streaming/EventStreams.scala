@@ -79,7 +79,13 @@ object EventStreams {
           col("ts") >= col("err_ts") &&
           col("ts") < col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
         joinType)
-      .select(col("user_id"), col("click_id"), col("err_id"))
+      // full_outer also emits right-side-unmatched rows, whose LEFT
+      // user_id is NULL — surface the key from whichever side is
+      // present (inner/left plans are unchanged: their left key is
+      // always populated)
+      .select((if (joinType == "full_outer") coalesce(col("user_id"), col("err_user"))
+               else col("user_id")).as("user_id"),
+        col("click_id"), col("err_id"))
   }
 
   /** Stream-static enrichment join — the OTHER streaming join flavor

@@ -138,6 +138,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("FULL-outer errorWindowJoin emits unmatched rows from BOTH sides") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = Seq(
+      Event(10, ts(1), 1, "click", 0, "{}"),   // matches err@0
+      Event(11, ts(40), 1, "click", 0, "{}"),  // outside window → left-unmatched
+      Event(12, ts(1), 2, "click", 0, "{}"))   // user 2 has no error → left-unmatched
+    val errors = Seq(
+      Event(90, ts(0), 1, "error", 0, "{}"),
+      Event(91, ts(0), 3, "error", 0, "{}"))   // user 3 never clicks → RIGHT-unmatched
+
+    val cm = MemoryStream[Event]; val em = MemoryStream[Event]
+    val q = EventStreams.errorWindowJoin(cm.toDF(), em.toDF(),
+        windowMinutes = 30, joinType = "full_outer")
+      .writeStream.format("memory").queryName("ewj_full_out")
+      .outputMode(OutputMode.Append).start()
+    cm.addData(clicks: _*); em.addData(errors: _*)
+    q.processAllAvailable()
+    // watermark advance authorizes BOTH sides' expiry emissions
+    cm.addData(Event(99, ts(600), 7, "click", 0, "{}"))
+    em.addData(Event(98, ts(600), 8, "error", 0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ewj_full_out")
+      .filter($"user_id" < 7) // drop the watermark pushers' own expiry rows
+      .select("user_id", "click_id", "err_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val batch = EventStreams.errorWindowJoin(clicks.toDF(), errors.toDF(),
+        30, joinType = "full_outer")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val expected = Set[(Long, Option[Long], Option[Long])](
+      (1L, Some(10L), Some(90L)),        // matched
+      (1L, Some(11L), None),             // click outside the window
+      (2L, Some(12L), None),             // user with no error
+      (3L, None, Some(91L)))             // error with no click — the full-outer addition
+    assert(batch == expected, s"batch=$batch")
+    assert(streamed == expected, s"streamed=$streamed")
+  }
+
   test("sessionizeBatch splits on the inactivity gap") {
     import spark.implicits._
     val events = Seq(
