@@ -1667,6 +1667,153 @@ object RelationalQueries {
           timestamp_micros(col("bucket") * lit(300000000L)).as("bucket_ts"),
           coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v"),
           last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+    },
+
+    // ---- A20: recursive hierarchy closure + rollup (WITH RECURSIVE) ------
+    // Spark 4 executes recursive CTEs natively (SPARK-24497), so the
+    // classic warehouse hierarchy walk — ancestor closure over a parent
+    // function, then aggregate descendants up to every ancestor — runs
+    // as ONE declarative SQL statement in both engines. The hierarchy
+    // is the deterministic decimal-digit tree over part keys
+    // (parent(k) = k div 10), ~5 levels deep at bench scale. Scale
+    // shape: each recursion step is a self-joinless projection (the
+    // parent is computed, not joined), so the loop is k map stages +
+    // one final aggregate shuffle on ancestor; depth is bounded by
+    // log10(max key), far under Spark's recursion limit (100).
+    QueryDef.sql(
+      "a20_hierarchy_closure",
+      """WITH RECURSIVE anc(node, ancestor, depth) AS (
+        |  SELECT p_partkey, p_partkey // 10, 1 FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT node, ancestor // 10, depth + 1 FROM anc WHERE ancestor >= 10
+        |)
+        |SELECT a.ancestor, CAST(count(*) AS BIGINT) AS n_desc,
+        |  max(a.depth) AS max_depth,
+        |  CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS desc_price
+        |FROM anc a JOIN part p ON p.p_partkey = a.node
+        |GROUP BY a.ancestor""".stripMargin) { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """WITH RECURSIVE anc(node, ancestor, depth) AS (
+          |  SELECT p_partkey, p_partkey div 10, 1 FROM part WHERE p_partkey >= 10
+          |  UNION ALL
+          |  SELECT node, ancestor div 10, depth + 1 FROM anc WHERE ancestor >= 10
+          |)
+          |SELECT a.ancestor, CAST(count(*) AS BIGINT) AS n_desc,
+          |  max(a.depth) AS max_depth,
+          |  CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS desc_price
+          |FROM anc a JOIN part p ON p.p_partkey = a.node
+          |GROUP BY a.ancestor""".stripMargin)
+    },
+
+    // ---- U12: incremental aggregate maintenance ---------------------------
+    // The 100 TB warehouse refresh pattern: a stored per-(type, day)
+    // partial aggregate plus the day's CDC delta, combined WITHOUT
+    // rescanning history. Partials keep their DECIMAL sums (exact,
+    // associative), so stored ⊕ delta is bit-identical to a full
+    // recompute — which is exactly what the oracle does. Scale shape:
+    // the stored table is read pre-aggregated (one row per group, not
+    // per event); only the delta is scanned raw; the combine is one
+    // partial-agg shuffle over group keys.
+    QueryDef.sql(
+      "u12_incremental_agg",
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val stageDir = s"/tmp/graft_u12_agg/${new java.io.File(d).getName}"
+      Staging.stageOnce(stageDir, Staging.sourceKey(d, "events")) {
+        Tables.events(s, d)
+          .filter(col("event_id") % 10 =!= 0)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("v"))
+          .write.mode("overwrite").parquet(s"$stageDir/stored")
+      }
+      val stored = s.read.parquet(s"$stageDir/stored")
+      val delta = Tables.events(s, d)
+        .filter(col("event_id") % 10 === 0)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      stored.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("v")).cast("double").as("total"))
+    },
+
+    // ---- W6: distribution window functions --------------------------------
+    // percent_rank / cume_dist / nth_value / first+last over an explicit
+    // ROWS frame — the remaining SQL window surface beyond w1–w5. The
+    // ordering key (o_totalprice, o_orderkey) is unique, and
+    // percent_rank/cume_dist are pure integer-ratio doubles, so both
+    // engines agree bit-for-bit with no rounding. One shuffle on
+    // o_orderpriority shared by every window.
+    QueryDef.sql(
+      "w6_distribution_windows",
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  first_value(o_orderkey) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lag2_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val framed = byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(byPrice).as("pr"),
+        cume_dist().over(byPrice).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(framed).as("second_key"),
+        first_value(col("o_orderkey")).over(framed).as("cheapest_key"),
+        last_value(col("o_orderkey"))
+          .over(byPrice.rowsBetween(-2, Window.currentRow)).as("lag2_key"))
+    },
+
+    // ---- F4: array higher-order functions ---------------------------------
+    // The codegen'd array surface (transform / filter / aggregate /
+    // zip_with / slice / contains) against DuckDB's list lambdas — the
+    // fold seed and order are pinned on both sides so integer results
+    // are identical. These are the primitives the vector and text
+    // operators build on; here they're exercised stand-alone over a
+    // deterministic sequence(1, p_size) so the oracle needs no
+    // collect_list (which would impose an order Spark doesn't
+    // guarantee).
+    QueryDef.sql(
+      "f4_array_funcs",
+      """WITH a AS (SELECT p_partkey, p_size, range(1, p_size + 1) AS arr
+        |           FROM part)
+        |SELECT p_partkey,
+        |  CAST(list_reduce(list_prepend(0, list_transform(arr, x -> x * x)),
+        |    (acc, x) -> acc + x) AS BIGINT) AS sq_sum,
+        |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+        |  CAST(list_reduce(list_prepend(0,
+        |      list_transform(range(1, p_size + 1), i -> arr[i] * arr[p_size + 1 - i])),
+        |    (acc, x) -> acc + x) AS BIGINT) AS rev_dot,
+        |  array_to_string(arr[1:3], ',') AS head3,
+        |  list_contains(arr, 7) AS has7
+        |FROM a""".stripMargin) { (s, d) =>
+      val arr = sequence(lit(1), col("p_size"))
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        aggregate(arr, lit(0L), (acc, x) => acc + x * x).as("sq_sum"),
+        size(filter(arr, x => x % 2 === 0)).as("n_even"),
+        aggregate(zip_with(arr, reverse(arr), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("rev_dot"),
+        array_join(transform(slice(arr, 1, 3), _.cast("string")), ",").as("head3"),
+        array_contains(arr, 7).as("has7"))
     }
   )
 }

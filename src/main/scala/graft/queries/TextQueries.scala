@@ -1171,6 +1171,45 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
           array_join(transform(sort_array(collect_list(struct(col("pos"), col("token_id")))),
             e => e.getField("token_id").cast("string")), " ").as("token_ids"))
+    },
+
+    // ---- T26: readability scoring (Flesch reading ease) -------------------
+    // The classic readability screen in corpus-quality batteries: words
+    // and sentence marks by regex count, syllables estimated as vowel
+    // groups (whitespace breaks a group, so the whole-text count equals
+    // the per-word sum — one regex pass, no explode). Score arithmetic
+    // runs in the identical operation order in both engines; round(6)
+    // absorbs the last-ulp libm divergence. Pure codegen'd Column
+    // algebra over the scan — the 100 TB shape is a map-only pass.
+    QueryDef.sql(
+      "t26_readability",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) *
+        |      (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |       / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) *
+        |      (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |       / CAST(greatest(1, len(regexp_extract_all(text, '\S+'))) AS DOUBLE)),
+        |    6) AS fk_ease
+        |FROM documents""".stripMargin) { (s, d) =>
+      val nWords = tokenCount(col("text"))
+      val nSent = greatest(lit(1), regexCount(col("text"), "[.!?]+"))
+      val nSyl = regexCount(lower(col("text")), "[aeiouy]+")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        nSent.cast("long").as("n_sentences"),
+        nSyl.cast("long").as("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+          - lit(84.6) * (nSyl.cast("double") / greatest(lit(1), nWords).cast("double")),
+          6).as("fk_ease"))
     }
   )
 }

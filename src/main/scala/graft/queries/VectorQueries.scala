@@ -327,6 +327,55 @@ object VectorQueries {
           sum(col("code").cast("long")).as("code_sum"),
           round(sum(col("err").cast(DecimalType(38, 30))).cast("double") / count(lit(1)), 12)
             .as("mse"))
+    },
+
+    // ---- V12: kNN majority-vote classification ---------------------------
+    // The standard label-transfer pass over an embedded corpus (weak
+    // labeling, quality-tier propagation): exact cosine top-5 among the
+    // labeled pool (vec_id >= 10), then a deterministic majority vote
+    // (count DESC, label ASC). Every stage is a rank window with a
+    // unique tie-break, so unlike recall-bounded ANN the whole
+    // classification is oracle-checked. Scale shape: the vote is a
+    // per-query aggregate over ≤ k rows riding the existing
+    // WindowGroupLimit top-k — no extra shuffle beyond knnBrute's.
+    QueryDef.sql(
+      "v12_knn_classify",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*n.emb[i])), (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*q.emb[i])), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*n.emb[i])), (a,b) -> a+b))) AS cosine
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id >= 10),
+        |knn AS (
+        |  SELECT query_id, neighbor_id, label FROM (
+        |    SELECT *, rank() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rnk
+        |    FROM pairs) WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM knn GROUP BY 1, 2)
+        |SELECT query_id, label AS predicted_label, n_votes FROM (
+        |  SELECT *, rank() OVER (PARTITION BY query_id
+        |    ORDER BY n_votes DESC, label) AS vr
+        |  FROM votes) WHERE vr = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val knn = VectorOps.knnBrute(
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10), k = 5)
+      val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      val votes = knn.join(broadcast(labels), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val vr = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("label"))
+      votes.withColumn("vr", rank().over(vr)).filter(col("vr") === 1)
+        .select(col("query_id"), col("label").as("predicted_label"), col("n_votes"))
     }
   )
 }
