@@ -1814,6 +1814,116 @@ object RelationalQueries {
           lit(0L), (acc, x) => acc + x).as("rev_dot"),
         array_join(transform(slice(arr, 1, 3), _.cast("string")), ",").as("head3"),
         array_contains(arr, 7).as("has7"))
+    },
+
+    // ---- A21: robust outliers (median / MAD) ------------------------------
+    // The robust twin of a15's z-score screen: median and median-
+    // absolute-deviation instead of mean/stddev, so a single extreme
+    // value can't drag the threshold. Medians are computed EXPLICITLY
+    // (middle one/two rows by a unique rank, averaged as (a+b)*0.5 in
+    // the identical op order both engines) rather than via the
+    // engines' percentile functions, whose interpolation arithmetic
+    // is not specified to the ulp. All downstream comparisons then
+    // run on bit-identical doubles — no rounding, no boundary drift.
+    // Scale shape: two rank windows partitioned by event_type (the
+    // group key), one final partial-agg shuffle; no global window.
+    QueryDef.sql(
+      "a21_mad_outliers",
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN rn = (n + 1) // 2 THEN value ELSE 0 END)
+        |      * CAST(0.5 AS DOUBLE)
+        |    + sum(CASE WHEN rn = (n + 2) // 2 THEN value ELSE 0 END)
+        |      * CAST(0.5 AS DOUBLE) AS med
+        |  FROM r GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY abs(e.value - m.med), e.event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY e.event_type) AS BIGINT) AS n
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN rn = (n + 1) // 2 THEN d ELSE 0 END)
+        |      * CAST(0.5 AS DOUBLE)
+        |    + sum(CASE WHEN rn = (n + 2) // 2 THEN d ELSE 0 END)
+        |      * CAST(0.5 AS DOUBLE) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+        |  round(max(d.med), 6) AS med, round(max(a.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.d > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY d.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+        val byVal = Window.partitionBy(col("event_type"))
+          .orderBy(col(valueCol), col("event_id"))
+        val all = Window.partitionBy(col("event_type"))
+        val r = df.withColumn("rn", row_number().over(byVal))
+          .withColumn("n", count(lit(1)).over(all))
+        // integer division for the middle ranks — Spark's `/` on
+        // integers is double division, unlike the oracle's `//`
+        val mid1 = expr("(n + 1) div 2")
+        val mid2 = expr("(n + 2) div 2")
+        r.groupBy("event_type").agg(
+          (sum(when(col("rn") === mid1, col(valueCol)).otherwise(0.0))
+             * lit(0.5)
+           + sum(when(col("rn") === mid2, col(valueCol)).otherwise(0.0))
+             * lit(0.5)).as(s"${valueCol}_med"))
+      }
+      val ev = Tables.events(s, d).select("event_type", "event_id", "value")
+      val med = medianOf(ev, "value")
+        .withColumnRenamed("value_med", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("value") - col("med")))
+      val mad = medianOf(dev, "d").withColumnRenamed("d_med", "mad")
+      val all = Window.partitionBy(col("event_type"))
+      dev.withColumn("n", count(lit(1)).over(all))
+        .join(broadcast(mad), "event_type")
+        .groupBy("event_type").agg(
+          max(col("n")).as("n"),
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(col("d") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+    },
+
+    // ---- C12: equi-depth length binning -----------------------------------
+    // The quantile-bucketing pass a curriculum/length-balanced sampler
+    // runs before mixing: ntile(10) over a UNIQUE ordering key
+    // (n_chars, doc_id) assigns each document to a depth-balanced bin,
+    // then per-bin edges and DECIMAL-exact mass come out of one
+    // aggregate. Complements c9's fixed-width buckets. ntile is pure
+    // integer arithmetic over the rank — deterministic in both
+    // engines given the unique order.
+    QueryDef.sql(
+      "c12_equidepth_bins",
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+        |FROM b GROUP BY bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // a single global ntile is fine at bin-count scale (the window
+      // carries only (doc_id, n_chars) pairs); a 100 TB run computes
+      // the 9 cut points from a sampled CDF and maps by range instead
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"),
+          sum(col("n_chars").cast(DecimalType(18, 0))).cast("long").as("total_chars"))
     }
   )
 }

@@ -29,28 +29,7 @@ object StreamStage {
           reuseKey: Option[String] = None,
           extraConfs: Map[String, String] = Map.empty)
          (transform: DataFrame => DataFrame): DataFrame = {
-    val inDir = Paths.get(stageDir, "in")
-    val marker = Paths.get(stageDir, "_STAGED_OK")
-    // multiple queries over the same source share one staged input;
-    // the caller's key must change when the source does (e.g. source
-    // file mtimes), so a regenerated corpus re-stages
-    val reusable = reuseKey.exists(k =>
-      Files.exists(marker) && Files.readString(marker) == k)
-    if (!reusable) {
-      deleteRecursively(Paths.get(stageDir))
-      bulk.coalesce(1).write.parquet(inDir.toString)
-      renameParts(inDir, known = Set.empty, to = "f0.parquet")
-      flushes.zipWithIndex.foldLeft(Set("f0.parquet")) { case (known, (f, i)) =>
-        f.coalesce(1).write.mode("append").parquet(inDir.toString)
-        known + renameParts(inDir, known, s"f${i + 1}.parquet")
-      }
-      val t0 = System.currentTimeMillis() - 3600000L
-      (0 to flushes.length).foreach { i =>
-        Files.setLastModifiedTime(inDir.resolve(s"f$i.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
-      }
-      reuseKey.foreach(k => Files.writeString(marker, k))
-    }
+    val inDir = ensureStaged(stageDir, bulk, flushes, reuseKey)
     // the checkpoint is per-query and always fresh (a reused one would
     // make AvailableNow skip the staged files as already-processed)
     val ckptDir = Paths.get(stageDir, s"ckpt_$name")
@@ -86,6 +65,83 @@ object StreamStage {
       }
     }
     spark.table(name)
+  }
+
+  /** Drives a `foreachBatch` MERGE over the staged source — the
+    * streaming-CDC-apply pattern: each micro-batch is merged into a
+    * versioned keyed table (read current → merge → write next version
+    * → publish), exactly the maintenance loop a Delta/Iceberg MERGE
+    * runs at scale, with parquet version directories standing in for
+    * the table format's transaction log. The merge function MUST be
+    * associative in the batch dimension (merge(merge(t,a),b) ==
+    * merge(t, a∪b)) so the result is independent of micro-batch
+    * boundaries — which is what lets a batch oracle check it.
+    * Returns the final published table version.
+    */
+  def runUpsert(spark: SparkSession, name: String, stageDir: String,
+                bulk: DataFrame, deltas: Seq[DataFrame],
+                reuseKey: Option[String] = None)
+               (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val inDir = ensureStaged(stageDir, bulk, deltas, reuseKey)
+    val ckptDir = Paths.get(stageDir, s"ckpt_$name")
+    deleteRecursively(ckptDir)
+    val tblRoot = Paths.get(stageDir, s"tbl_$name")
+    deleteRecursively(tblRoot)
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val applyBatch = (batch: DataFrame, _: Long) => {
+      val cur = version.get()
+      val current =
+        if (cur == 0) None
+        else Some(spark.read.parquet(tblRoot.resolve(s"v$cur").toString))
+      merge(current, batch).write.mode("overwrite")
+        .parquet(tblRoot.resolve(s"v${cur + 1}").toString)
+      version.incrementAndGet()
+      ()
+    }
+    val q = src.writeStream
+      .foreachBatch(applyBatch)
+      .option("checkpointLocation", ckptDir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(tblRoot.resolve(s"v${version.get()}").toString)
+  }
+
+  /** Stage bulk + follow-up files as an admission-controlled file
+    * source (one file per micro-batch), reused across queries via the
+    * caller's source-version key.
+    */
+  private def ensureStaged(stageDir: String, bulk: DataFrame,
+                           followUps: Seq[DataFrame],
+                           reuseKey: Option[String]): Path = {
+    val inDir = Paths.get(stageDir, "in")
+    val marker = Paths.get(stageDir, "_STAGED_OK")
+    // multiple queries over the same source share one staged input;
+    // the caller's key must change when the source does (e.g. source
+    // file mtimes), so a regenerated corpus re-stages
+    val reusable = reuseKey.exists(k =>
+      Files.exists(marker) && Files.readString(marker) == k)
+    if (!reusable) {
+      deleteRecursively(Paths.get(stageDir))
+      bulk.coalesce(1).write.parquet(inDir.toString)
+      renameParts(inDir, known = Set.empty, to = "f0.parquet")
+      followUps.zipWithIndex.foldLeft(Set("f0.parquet")) { case (known, (f, i)) =>
+        f.coalesce(1).write.mode("append").parquet(inDir.toString)
+        known + renameParts(inDir, known, s"f${i + 1}.parquet")
+      }
+      val t0 = System.currentTimeMillis() - 3600000L
+      (0 to followUps.length).foreach { i =>
+        Files.setLastModifiedTime(inDir.resolve(s"f$i.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+      }
+      reuseKey.foreach(k => Files.writeString(marker, k))
+    }
+    inDir
   }
 
   /** Rename the just-written part file to a stable ordered name. */
