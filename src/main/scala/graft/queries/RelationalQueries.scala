@@ -1912,13 +1912,21 @@ object RelationalQueries {
         |  min(n_chars) AS lo, max(n_chars) AS hi,
         |  CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
         |FROM b GROUP BY bin""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // a single global ntile is fine at bin-count scale (the window
-      // carries only (doc_id, n_chars) pairs); a 100 TB run computes
-      // the 9 cut points from a sampled CDF and maps by range instead
-      val w = Window.orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-        .withColumn("bin", ntile(10).over(w))
+      // NO unpartitioned ntile window: the global rank comes from the
+      // two-phase ShardedRank (range shards + broadcast offsets) and
+      // the ntile bucket from its closed form — first (n mod k) buckets
+      // get (n div k)+1 rows, the rest n div k. Bit-identical to the
+      // oracle's ntile(10) at any parallelism.
+      val ranked = graft.operators.ShardedRank.withRank(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "r", col("n_chars"), col("doc_id"))
+      val n1 = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n1))
+        .withColumn("bin", expr(
+          """cast(case when r <= (n % 10) * (n div 10 + 1)
+            |  then (r - 1) div (n div 10 + 1)
+            |  else (n % 10) + (r - (n % 10) * (n div 10 + 1) - 1) div (n div 10)
+            |end + 1 as int)""".stripMargin))
         .groupBy("bin").agg(
           count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("lo"),
