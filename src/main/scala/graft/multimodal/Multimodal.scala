@@ -156,6 +156,40 @@ object Multimodal {
       concat(media.cast("string"), lit(i.toString)))
       .cast("double") / 1000000007.0
 
+  /** Windowed audio features over the raw payload stream — the
+    * frame/hop analysis every audio pipeline runs before featurization
+    * (RMS energy, zero-crossing rate, peak), expressed entirely in
+    * Column algebra: one explode over the window grid, per-window
+    * slice + fold. With the stub payload the "samples" are the byte
+    * stream itself (ascii codes); a real PCM decode swaps in at the
+    * same boundary as StubCodec and the windowing/fold plumbing is
+    * unchanged. Scale shape: generator + codegen folds over the scan —
+    * no shuffle at all.
+    */
+  def audioWindows(df: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    val payload = regexp_replace(col("media").cast("string"),
+      "^W:\\d+;H:\\d+;F:\\d+;", "")
+    val codes = transform(
+      filter(split(payload, ""), c => length(c) > 0), c => ascii(c))
+    val nw = when(size(col("codes")) >= window,
+      ((size(col("codes")) - window) / stride).cast("int") + 1).otherwise(0)
+    val wc = slice(col("codes"), col("widx") * stride + 1, lit(window))
+    val sumSq = aggregate(col("wc"), lit(0L), (a, x) => a + x * x)
+    val zc = aggregate(
+      zip_with(slice(col("wc"), 1, window - 1), slice(col("wc"), 2, window - 1),
+        (a, b) => when((a >= 128) =!= (b >= 128), 1).otherwise(0)),
+      lit(0), (a, x) => a + x)
+    df.select(col("asset_id"), codes.as("codes"))
+      .withColumn("widx",
+        explode(when(nw > 0, sequence(lit(0), nw - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("asset_id"), col("widx"), wc.as("wc"))
+      .select(col("asset_id"), col("widx"),
+        round(sqrt(sumSq.cast("double") / window), 6).as("rms"),
+        zc.cast("int").as("zc"),
+        array_max(col("wc")).as("peak"))
+  }
+
   /** Synthetic asset table from the documents corpus (deterministic):
     * lets the media pipeline run against driver-provided testdata.
     */

@@ -93,6 +93,50 @@ object MediaQueries {
         Multimodal.fingerprintFeature(col("media"), i).as(s"f$i"))
       Multimodal.syntheticAssets(Tables.documents(s, d))
         .select(col("asset_id") +: dimCols: _*)
+    },
+
+    // ---- windowed audio features (frame/hop analysis) -----------------
+    // RMS energy, zero-crossing rate, and peak per 32-sample window at
+    // hop 16 over the audio payload byte stream — the frame grid every
+    // audio featurizer runs. The whole pass is generator + codegen
+    // folds on the scan (no shuffle); the stub "samples" are ascii
+    // codes of the payload, so the grid, slices, and fold arithmetic
+    // all have exact DuckDB twins.
+    QueryDef.sql(
+      "m5_audio_windows",
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    printf('W:%d;H:%d;F:%d;',
+        |      CAST(doc_id % 64 + 16 AS BIGINT),
+        |      CAST((doc_id * 7) % 64 + 16 AS BIGINT),
+        |      CAST(doc_id % 10 + 1 AS BIGINT)) || substring(text, 1, 128) AS m
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |c AS (
+        |  SELECT asset_id,
+        |    list_transform(string_split_regex(
+        |      regexp_replace(m, '^W:[0-9]+;H:[0-9]+;F:[0-9]+;', ''), ''),
+        |      ch -> ascii(ch)) AS codes
+        |  FROM a),
+        |w AS (
+        |  SELECT asset_id, codes,
+        |    unnest(generate_series(0, (len(codes) - 32) // 16)) AS widx
+        |  FROM c WHERE len(codes) >= 32),
+        |s AS (
+        |  SELECT asset_id, CAST(widx AS INT) AS widx,
+        |    codes[widx * 16 + 1 : widx * 16 + 32] AS wc
+        |  FROM w)
+        |SELECT asset_id, widx,
+        |  round(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(wc, x -> CAST(x AS BIGINT) * x)), (a, b) -> a + b)
+        |    AS DOUBLE) / 32), 6) AS rms,
+        |  CAST(list_reduce(list_prepend(0, list_transform(range(1, 32),
+        |      i -> CASE WHEN (wc[i] >= 128) <> (wc[i + 1] >= 128)
+        |                THEN 1 ELSE 0 END)), (a, b) -> a + b) AS INT) AS zc,
+        |  CAST(list_reduce(wc, (a, b) -> greatest(a, b)) AS INT) AS peak
+        |FROM s""".stripMargin) { (s, d) =>
+      Multimodal.audioWindows(
+        Multimodal.syntheticAssets(Tables.documents(s, d))
+          .filter(col("media_type") === "audio"))
     }
   )
 }

@@ -376,6 +376,59 @@ object VectorQueries {
         .orderBy(col("n_votes").desc, col("label"))
       votes.withColumn("vr", rank().over(vr)).filter(col("vr") === 1)
         .select(col("query_id"), col("label").as("predicted_label"), col("n_votes"))
+    },
+
+    // ---- V13: int4 quantization (nibble packing) --------------------------
+    // The 8×-compression storage tier below v7's int8: symmetric
+    // per-vector scale (max |x|), 4-bit codes in [-8, 7] via
+    // deterministic floor (never round-half, whose tie behavior is
+    // engine-specific), two codes packed per byte. 64 dims → 32 bytes.
+    // All integer arithmetic plus one fixed-order double expression
+    // per element, so codes, packed bytes, AND reconstruction error
+    // are oracle-checked. Scale shape: pure scan-stage Column algebra.
+    QueryDef.sql(
+      "v13_int4_quantize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |  list_reduce(list_transform(emb, x -> abs(x)), (a, b) -> greatest(a, b))
+        |    AS scale FROM e),
+        |q AS (SELECT vec_id, emb, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+        |       ELSE list_transform(emb,
+        |         x -> greatest(-8, least(7, CAST(floor(x / scale * 8) AS INT))))
+        |  END AS qv FROM s),
+        |p AS (SELECT vec_id, emb, scale, qv,
+        |  list_transform(range(0, 32),
+        |    j -> (qv[j * 2 + 1] + 8) * 16 + (qv[j * 2 + 2] + 8)) AS packed
+        |  FROM q)
+        |SELECT vec_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), packed), (a, b) -> a + b)
+        |    AS BIGINT) AS code_sum,
+        |  array_to_string(packed[1:8], ',') AS first8,
+        |  round(list_reduce(list_transform(range(1, len(emb) + 1),
+        |      i -> abs(CAST(qv[i] AS DOUBLE) * scale / 8 - emb[i])),
+        |    (a, b) -> greatest(a, b)), 6) AS max_err
+        |FROM p""".stripMargin) { (s, d) =>
+      val emb = VectorOps.toDouble(col("embedding"))
+      val scale = array_max(transform(emb, x => abs(x)))
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), emb.as("emb"), scale.as("scale"))
+      val qv = when(col("scale") === 0, transform(col("emb"), _ => lit(0)))
+        .otherwise(transform(col("emb"),
+          x => greatest(lit(-8), least(lit(7),
+            floor(x / col("scale") * 8).cast("int")))))
+      val withQ = base.withColumn("qv", qv)
+      val packed = transform(sequence(lit(0), lit(31)),
+        j => (element_at(col("qv"), j * 2 + 1) + 8) * 16
+          + (element_at(col("qv"), j * 2 + 2) + 8))
+      withQ.withColumn("packed", packed)
+        .select(col("vec_id"),
+          aggregate(col("packed"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_join(transform(slice(col("packed"), 1, 8), _.cast("string")), ",")
+            .as("first8"),
+          round(array_max(zip_with(col("qv"), col("emb"),
+            (q, x) => abs(q.cast("double") * col("scale") / 8 - x))), 6)
+            .as("max_err"))
     }
   )
 }
