@@ -1932,6 +1932,88 @@ object RelationalQueries {
           min(col("n_chars")).as("lo"),
           max(col("n_chars")).as("hi"),
           sum(col("n_chars").cast(DecimalType(18, 0))).cast("long").as("total_chars"))
+    },
+
+    // ---- EV22: linear-interpolation gap fill ------------------------------
+    // The interpolating sibling of ev18's forward fill: missing 5-min
+    // buckets take the straight line between the nearest observed
+    // values on either side (sensor/metric imputation). prev/next
+    // anchors come from IGNORE NULLS row frames over the same dense
+    // grid. The interpolation runs in EXACT integer arithmetic —
+    // observed sums carried as DECIMAL cents, weighted numerator and
+    // denominator are BIGINTs, and the only float op is ONE division
+    // of two exactly-representable integers — so no round() is needed
+    // and no round-half boundary can split the engines (a first
+    // round(6) draft lost one row in 42k to exactly that). Edges
+    // (before the first / after the last observation) stay NULL.
+    // Scale shape: same as ev18 — tiny per-key range aggregate
+    // explodes the grid, one event_type shuffle shared by both
+    // direction frames.
+    QueryDef.sql(
+      "ev22_linear_interp",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 300000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_obs,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS vd
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+        |      FROM r),
+        |j AS (
+        |  SELECT g.event_type, g.bucket, b.n_obs, b.vd,
+        |    last_value(CAST(b.vd * 100 AS BIGINT) IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        |    last_value(CASE WHEN b.vd IS NOT NULL THEN g.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY g.event_type ORDER BY g.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+        |    first_value(CAST(b.vd * 100 AS BIGINT) IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+        |    first_value(CASE WHEN b.vd IS NOT NULL THEN g.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY g.event_type ORDER BY g.bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+        |  FROM g LEFT JOIN b
+        |    ON g.event_type = b.event_type AND g.bucket = b.bucket)
+        |SELECT event_type, bucket, coalesce(n_obs, 0) AS n_obs,
+        |  CAST(vd AS DOUBLE) AS v,
+        |  CASE WHEN vd IS NOT NULL THEN CAST(vd AS DOUBLE)
+        |       WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+        |         CAST(prev_c * (next_b - bucket) + next_c * (bucket - prev_b)
+        |           AS DOUBLE)
+        |         / CAST((next_b - prev_b) * 100 AS DOUBLE)
+        |  END AS v_interp
+        |FROM j""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 300000000").as("bucket"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("value").cast(DecimalType(18, 2))).as("vd"))
+      val g = b.groupBy("event_type")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cents = (col("vd") * 100).cast("long")
+      val obsBucket = when(col("vd").isNotNull, col("bucket"))
+      g.join(b, Seq("event_type", "bucket"), "left")
+        .withColumn("prev_c", last(cents, ignoreNulls = true).over(wPrev))
+        .withColumn("prev_b", last(obsBucket, ignoreNulls = true).over(wPrev))
+        .withColumn("next_c", first(cents, ignoreNulls = true).over(wNext))
+        .withColumn("next_b", first(obsBucket, ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("vd").cast("double").as("v"),
+          when(col("vd").isNotNull, col("vd").cast("double"))
+            .when(col("prev_c").isNotNull && col("next_c").isNotNull,
+              (col("prev_c") * (col("next_b") - col("bucket"))
+                + col("next_c") * (col("bucket") - col("prev_b"))).cast("double")
+                / ((col("next_b") - col("prev_b")) * 100).cast("double"))
+            .as("v_interp"))
     }
   )
 }
