@@ -26,6 +26,33 @@ object RelationalQueries {
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Edit-distance record-linkage pairs over parts (j5's plan, shared
+    * with er1): distances over DISTINCT name pairs (banded Levenshtein
+    * + length band), row expansion via hash equi-joins — never a
+    * row-level cartesian.
+    */
+  private def fuzzyPartPairs(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val names = p.select(col("p_name")).distinct()
+    // ordered distance table over distinct names (incl. equal pairs,
+    // dist 0) — tiny, broadcast into the expansion joins
+    val dist = names.select(col("p_name").as("name_a"))
+      .join(names.select(col("p_name").as("name_b")),
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .select(col("name_a"), col("name_b").as("dname_b"),
+        levenshtein(col("name_a"), col("name_b"), 2).as("edit_dist"))
+      .filter(col("edit_dist") =!= -1)
+    val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"),
+      col("p_name").as("name_b"))
+    a.join(broadcast(dist), "name_a")
+      .join(b, col("p_brand") === col("brand_b") && col("dname_b") === col("name_b") &&
+        col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("edit_dist").cast("int").as("edit_dist"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- A1/A2-style headline aggregation (TPC-H Q1 shape) ----------
@@ -1048,25 +1075,7 @@ object RelationalQueries {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |  AND abs(len(a.p_name) - len(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin) { (s, d) =>
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val names = p.select(col("p_name")).distinct()
-      // ordered distance table over distinct names (incl. equal pairs,
-      // dist 0) — tiny, broadcast into the expansion joins
-      val dist = names.select(col("p_name").as("name_a"))
-        .join(names.select(col("p_name").as("name_b")),
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        .select(col("name_a"), col("name_b").as("dname_b"),
-          levenshtein(col("name_a"), col("name_b"), 2).as("edit_dist"))
-        .filter(col("edit_dist") =!= -1)
-      val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
-        col("p_name").as("name_a"))
-      val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"),
-        col("p_name").as("name_b"))
-      a.join(broadcast(dist), "name_a")
-        .join(b, col("p_brand") === col("brand_b") && col("dname_b") === col("name_b") &&
-          col("key_a") < col("key_b"))
-        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-          col("edit_dist").cast("int").as("edit_dist"))
+      fuzzyPartPairs(s, d)
     },
 
     // ---- A14: key-skew audit (the input to a salting decision) ----------
@@ -2014,6 +2023,62 @@ object RelationalQueries {
                 + col("next_c") * (col("bucket") - col("prev_b"))).cast("double")
                 / ((col("next_b") - col("prev_b")) * 100).cast("double"))
             .as("v_interp"))
+    },
+
+    // ---- ER1: end-to-end entity resolution --------------------------------
+    // The full record-linkage pipeline as ONE composed operator:
+    // blocked fuzzy match (j5's distinct-name banded Levenshtein) →
+    // connected components (DupComponents' broadcast label
+    // propagation) → canonical entity per component (min key, whose
+    // name becomes the canonical name) with every row — including
+    // singletons — assigned and consolidated. This is the composition
+    // a dedup/master-data user actually runs; each stage is the
+    // already-audited scale shape, and the whole pipeline stays under
+    // the hash gate via DuckDB's levenshtein + recursive-CTE twin.
+    QueryDef.sql(
+      "er1_entity_resolution",
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |   AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (
+        |  SELECT key_a AS src, key_b AS dst FROM pr
+        |  UNION ALL SELECT key_b, key_a FROM pr),
+        |reach(id, root) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+        |asg AS (
+        |  SELECT p.p_partkey, coalesce(c.comp, p.p_partkey) AS entity_id,
+        |    p.p_retailprice
+        |  FROM part p LEFT JOIN comp c ON c.id = p.p_partkey),
+        |agg AS (
+        |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+        |  FROM asg GROUP BY entity_id)
+        |SELECT g.entity_id, g.n_members, p.p_name AS canonical_name,
+        |  g.min_price, g.max_price
+        |FROM agg g JOIN part p ON p.p_partkey = g.entity_id""".stripMargin) { (s, d) =>
+      val pairs = fuzzyPartPairs(s, d)
+        .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
+      val comp = graft.operators.DupComponents.components(s, pairs)
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      val assigned = p.join(comp, p("p_partkey") === comp("id"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("comp"), col("p_partkey")).as("entity_id"),
+          col("p_retailprice"))
+      val agg = assigned.groupBy("entity_id").agg(
+        count(lit(1)).as("n_members"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"))
+      agg.join(p.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), "entity_id")
+        .select(col("entity_id"), col("n_members"), col("canonical_name"),
+          col("min_price"), col("max_price"))
     }
   )
 }
