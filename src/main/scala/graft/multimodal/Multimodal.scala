@@ -193,6 +193,33 @@ object Multimodal {
   /** Synthetic asset table from the documents corpus (deterministic):
     * lets the media pipeline run against driver-provided testdata.
     */
+  /** Average-hash perceptual fingerprint over the decoded "pixel"
+    * stream (with the stub codec: ascii codes of the payload, same
+    * boundary as `audioWindows`). Classic aHash: mean-threshold each
+    * sample, pack the bit string into one integer. 62 bits, not 64 —
+    * BIGINT bit 63 is the sign bit and engines disagree on shifting
+    * into it, so 62 keeps the hash portable across engines/storage.
+    * The mean threshold is the DIVISION-FREE form `code * n > sum`
+    * (exact integer compare); the pack is an MSB-first fold
+    * `acc*2 + bit` (no shift builtins needed). All per-row codegen
+    * over the scan — zero shuffle; a real codec swaps in at the same
+    * boundary as StubCodec with the hash algebra unchanged.
+    */
+  def withPerceptualHash(df: DataFrame, nBits: Int = 62): DataFrame = {
+    val payload = regexp_replace(col("media").cast("string"),
+      "^W:\\d+;H:\\d+;F:\\d+;", "")
+    val codes = transform(
+      filter(split(payload, ""), c => length(c) > 0), c => ascii(c).cast("long"))
+    df.withColumn("_cs", slice(codes, 1, nBits))
+      .withColumn("_n", size(col("_cs")).cast("long"))
+      .withColumn("_sum", aggregate(col("_cs"), lit(0L), (a, b) => a + b))
+      .withColumn("phash", aggregate(
+        transform(col("_cs"),
+          c => when(c * col("_n") > col("_sum"), lit(1L)).otherwise(lit(0L))),
+        lit(0L), (a, b) => a * lit(2L) + b))
+      .drop("_cs", "_n", "_sum")
+  }
+
   def syntheticAssets(documents: DataFrame): DataFrame = {
     val w = (pmod(col("doc_id"), lit(64)) + 16).cast("int")
     val h = (pmod(col("doc_id") * 7, lit(64)) + 16).cast("int")

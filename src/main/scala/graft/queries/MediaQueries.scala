@@ -137,6 +137,51 @@ object MediaQueries {
       Multimodal.audioWindows(
         Multimodal.syntheticAssets(Tables.documents(s, d))
           .filter(col("media_type") === "audio"))
+    },
+
+    // ---- perceptual-hash image dedup (aHash over decoded pixels) ------
+    // The image-side near-dup signal: 62-bit mean-threshold hash per
+    // asset plus the size of its exact-hash bucket (the blocking key a
+    // hamming-band pass would join on). Division-free threshold and
+    // MSB-first integer pack give the hash an exact DuckDB twin; the
+    // bucket count is a window over the phash partition key (scales —
+    // never a global window).
+    QueryDef.sql(
+      "m6_phash_dedup",
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    printf('W:%d;H:%d;F:%d;',
+        |      CAST(doc_id % 64 + 16 AS BIGINT),
+        |      CAST((doc_id * 7) % 64 + 16 AS BIGINT),
+        |      CAST(doc_id % 10 + 1 AS BIGINT)) || substring(text, 1, 128) AS m
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |c AS (
+        |  SELECT asset_id,
+        |    list_transform(string_split_regex(
+        |      regexp_replace(m, '^W:[0-9]+;H:[0-9]+;F:[0-9]+;', ''), ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))[1:62] AS cs
+        |  FROM a),
+        |s AS (
+        |  SELECT asset_id, cs, CAST(len(cs) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, b) -> a + b) AS sm
+        |  FROM c),
+        |h AS (
+        |  SELECT asset_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(cs, x -> CASE WHEN x * n > sm
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a * 2 + b) AS phash
+        |  FROM s)
+        |SELECT asset_id, phash,
+        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+        |FROM h""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, d))
+        .filter(col("media_type") === "image")
+      Multimodal.withPerceptualHash(assets)
+        .select(col("asset_id"), col("phash"),
+          count(lit(1)).over(Window.partitionBy(col("phash")))
+            .cast("long").as("n_same"))
     }
   )
 }

@@ -2079,6 +2079,167 @@ object RelationalQueries {
           col("p_name").as("canonical_name")), "entity_id")
         .select(col("entity_id"), col("n_members"), col("canonical_name"),
           col("min_price"), col("max_price"))
+    },
+
+    // ---- A22: multi-source BFS hop distance -------------------------------
+    // Shortest hop count from a seed set over the part co-purchase
+    // graph (a18's edge definition), depth-capped at 4. The iterative
+    // frontier expansion is all-integer, so — like d7's fixed-point
+    // PageRank — an iterative graph traversal sits under the exact-hash
+    // gate via a DuckDB recursive-CTE twin. Scale shape: per round ONE
+    // broadcast of the frontier (never the visited set) into the edge
+    // scan + a distinct on the next frontier; edges are checkpointed
+    // once and never reshuffled; the visited set only ever receives
+    // unions. Above broadcast size the frontier join degrades to a
+    // shuffle join with the loop unchanged.
+    QueryDef.sql(
+      "a22_bfs_hops",
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |seeds AS (SELECT p_partkey AS id FROM part WHERE p_size = 50),
+        |bfs(id, hop) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN e ON e.src = b.id
+        |  WHERE b.hop < 4)
+        |SELECT id AS part_id, CAST(min(hop) AS INTEGER) AS hop
+        |FROM bfs GROUP BY id""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = op.as("a")
+        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+        .select(col("src"), col("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var dist = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("id"), lit(0).as("hop"))
+        .localCheckpoint(true)
+      var frontier = dist.select(col("id"))
+      var h = 1
+      while (h <= 4 && !frontier.isEmpty) {
+        val next = edges
+          .join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(dist.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(h).as("hop"))
+          .localCheckpoint(true)
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next.select(col("id"))
+        h += 1
+      }
+      dist.select(col("id").as("part_id"), col("hop").cast("int").as("hop"))
+    },
+
+    // ---- A23: Benford first-digit audit -----------------------------------
+    // The fraud/data-quality screen: first-significant-digit counts and
+    // shares per order status. The digit comes from integer string
+    // arithmetic (floor → BIGINT → first char), NOT log10 — float logs
+    // sit on exact-power boundaries and engines disagree there; the
+    // share is ONE division of two exact integers. One partial-agg
+    // shuffle on (status, digit); the per-status total is a 9-row
+    // window, never a second scan.
+    QueryDef.sql(
+      "a23_benford_digits",
+      """WITH d AS (
+        |  SELECT o_orderstatus,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderstatus, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2)
+        |SELECT o_orderstatus, digit, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS DOUBLE)
+        |    AS share
+        |FROM g""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit")
+      val g = Tables.orders(s, d).select(col("o_orderstatus"), digit)
+        .groupBy(col("o_orderstatus"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+      g.select(col("o_orderstatus"), col("digit"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(w).cast("double")).as("share"))
+    },
+
+    // ---- EV23: OHLC time-bucket downsample --------------------------------
+    // The metrics-store resample: per (event_type, 6-hour bucket) the
+    // open/high/low/close/volume candle. Open/close are min_by/max_by
+    // on the TOTAL order (ts, event_id) — deterministic under ties,
+    // mirrored in the oracle as row_number over the same order — and
+    // the whole candle is one partial-agg shuffle on the bucket key
+    // (no window over the raw stream). Bucket ids stay integer
+    // (epoch_us div width): reconstructing timestamps per engine is
+    // where resamplers drift.
+    QueryDef.sql(
+      "ev23_ohlc_bars",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 21600000000
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 21600000000
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, bucket,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS volume
+        |FROM e GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 21600000000").as("bucket"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("volume"))
+    },
+
+    // ---- EV24: max concurrency (interval sweep-line) ----------------------
+    // "Peak simultaneous sessions" over event intervals [ts, ts+5min):
+    // the classic sweep — +1/-1 deltas, running sum, max. Ordering by
+    // (t, delta) closes ends before opens at the same instant
+    // (end-exclusive intervals), and BOTH engines' default RANGE frame
+    // sums all peers of (t, delta), so the running count is
+    // deterministic even with tied timestamps. One shuffle to order
+    // each type's timeline; at 100 TB the partition key is
+    // (event_type, day) with per-day offsets carried over — the c4/c7
+    // prefix-sum shape.
+    QueryDef.sql(
+      "ev24_max_concurrency",
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+        |r AS (
+        |  SELECT event_type, delta,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+        |  FROM pts)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM r WHERE delta = 1 GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("t"))
+      val pts = e.select(col("event_type"), col("t"), lit(1).as("delta"))
+        .union(e.select(col("event_type"), (col("t") + lit(300000000L)).as("t"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+      pts.select(col("event_type"), col("delta"),
+          sum(col("delta")).over(w).as("conc"))
+        .filter(col("delta") === 1)
+        .groupBy(col("event_type"))
+        .agg(max(col("conc")).cast("long").as("max_concurrent"))
     }
   )
 }

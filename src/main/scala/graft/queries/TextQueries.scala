@@ -1210,6 +1210,47 @@ object TextQueries {
           - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
           - lit(84.6) * (nSyl.cast("double") / greatest(lit(1), nWords).cast("double")),
           6).as("fk_ease"))
+    },
+
+    // ---- T27: n-gram novelty (within-document repetition signal) ----------
+    // distinct-trigram / total-trigram ratio per document — the
+    // within-doc counterpart of t7's repeated-line score and a standard
+    // crawl-quality filter (templated or looping text scores low).
+    // Scale shape: ZERO shuffle — trigrams come from zip_with over
+    // three aligned `slice`s of the token array (never element_at
+    // inside transform, which re-evaluates the array per element), and
+    // distinct-counting stays inside the row via array_distinct, so the
+    // whole pass is codegen over the scan.
+    QueryDef.sql(
+      "t27_ngram_novelty",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tri
+        |  FROM tok WHERE len(t) >= 3)
+        |SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+        |    AS novelty
+        |FROM f""".stripMargin) { (s, d) =>
+      val n = size(col("t"))
+      val tri = zip_with(
+        zip_with(slice(col("t"), lit(1), n - 2), slice(col("t"), lit(2), n - 2),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(col("t"), lit(3), n - 2),
+        (ab, c) => concat_ws(" ", ab, c))
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), tri.as("tri"))
+        .select(col("doc_id"),
+          size(col("tri")).cast("long").as("n_tri"),
+          size(array_distinct(col("tri"))).cast("long").as("n_uniq"),
+          (size(array_distinct(col("tri"))).cast("double")
+            / size(col("tri")).cast("double")).as("novelty"))
     }
   )
 }

@@ -75,4 +75,26 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Seq[Double], Seq[Double])].collect()
     arr.foreach { case (id, fa, fs) => assert(fa == fs, s"asset $id") }
   }
+
+  test("withPerceptualHash: deterministic, 62-bit range, duplicates collide") {
+    val h1 = Multimodal.withPerceptualHash(assets)
+      .select($"asset_id", $"phash").as[(Long, Long)].collect().toMap
+    val h2 = Multimodal.withPerceptualHash(assets)
+      .select($"asset_id", $"phash").as[(Long, Long)].collect().toMap
+    assert(h1 == h2, "hash is deterministic")
+    assert(h1.values.forall(v => v >= 0L && v < (1L << 62)), "62-bit non-negative")
+    assert(h1.values.toSet.size > 1, "distinct payloads spread across hashes")
+    // identical payloads MUST collide (the dedup contract)
+    val dup = assets.limit(1).union(assets.limit(1))
+    val hs = Multimodal.withPerceptualHash(dup).select($"phash").as[Long].collect()
+    assert(hs.length == 2 && hs(0) == hs(1))
+  }
+
+  test("withPerceptualHash: constant pixel stream hashes to 0 (no bit strictly above mean)") {
+    val const = Seq((1L, "W:16;H:16;F:1;" + "aaaaaaaaaaaa"))
+      .toDF("asset_id", "m")
+      .withColumn("media", $"m".cast("binary")).drop("m")
+    val h = Multimodal.withPerceptualHash(const).select($"phash").as[Long].head()
+    assert(h == 0L)
+  }
 }
