@@ -2240,6 +2240,166 @@ object RelationalQueries {
         .filter(col("delta") === 1)
         .groupBy(col("event_type"))
         .agg(max(col("conc")).cast("long").as("max_concurrent"))
+    },
+
+    // ---- A24: HHI market-concentration audit ------------------------------
+    // Herfindahl-Hirschman index of order counts across customers per
+    // market segment — the standard concentration screen (antitrust /
+    // vendor-risk / data-source balance). HHI = Σ share² computed as
+    // sum_sq / total² — ONE double division of two exact BIGINTs, no
+    // per-row share divisions to drift. Two partial-agg shuffles, the
+    // second over |segments| rows; the customer dim is broadcast so
+    // the orders scan never shuffles for the join.
+    QueryDef.sql(
+      "a24_hhi_concentration",
+      """WITH n AS (
+        |  SELECT c.c_mktsegment, o.o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_accounts,
+        |  CAST(sum(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(n * n) AS BIGINT) AS sum_sq,
+        |  CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE)
+        |    / (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+        |       * CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)) AS hhi
+        |FROM n GROUP BY 1""".stripMargin) { (s, d) =>
+      val n = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      n.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_accounts"),
+          sum(col("n")).as("n_orders"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        .select(col("c_mktsegment"), col("n_accounts"), col("n_orders"),
+          col("sum_sq"),
+          (col("sum_sq").cast("double")
+            / (col("n_orders").cast("double") * col("n_orders").cast("double")))
+            .as("hhi"))
+    },
+
+    // ---- Q18: large-volume orders (TPC-H Q18 shape) -----------------------
+    // The "big buyers" report: orders whose total line quantity exceeds
+    // a threshold, joined back to customer. The HAVING filter runs in
+    // the aggregate BEFORE either join (Catalyst keeps it at the
+    // partial-agg site), so only qualifying orderkeys reach the join;
+    // orders↔lineitem co-partition on orderkey, customer is broadcast.
+    // Quantity sums go through DECIMAL (exact under any partial-agg
+    // order).
+    QueryDef.sql(
+      "q18_big_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+        .filter(col("q") > 150)
+        .select(col("l_orderkey"), col("q").cast("double").as("total_qty"))
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    },
+
+    // ---- F5: map higher-order functions (f4's map/struct sibling) ---------
+    // Rounds out the function surface: per order, line quantities are
+    // collected into a MAP (map_from_entries), doubled with
+    // transform_values, thresholded with map_filter, point-probed with
+    // element_at, and exploded back to rows. Quantities ride as integer
+    // cents so every value is exact; the oracle states the same
+    // semantics relationally (the map is plan-local — what must match
+    // is the relation it denotes). One shuffle (the groupBy); map HOFs
+    // are codegen-friendly expression trees, not UDFs.
+    QueryDef.sql(
+      "f5_map_funcs",
+      """WITH c AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        |  SELECT l_orderkey,
+        |    max(CASE WHEN l_linenumber = 1 THEN cents END) AS line1_qty_cents
+        |  FROM c GROUP BY 1)
+        |SELECT c.l_orderkey, f.line1_qty_cents, c.l_linenumber,
+        |  c.cents * 2 AS qty2_cents
+        |FROM c JOIN f USING (l_orderkey)
+        |WHERE c.cents * 2 > 5000""".stripMargin) { (s, d) =>
+      // l_linenumber repeats within an order in this corpus — aggregate
+      // to unique keys first (map keys must be unique by contract)
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum((col("l_quantity") * 100).cast("long")).as("cents"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(
+          collect_list(struct(col("l_linenumber"), col("cents")))).as("m"))
+      m.select(col("l_orderkey"),
+          element_at(col("m"), lit(1)).as("line1_qty_cents"),
+          explode(map_filter(
+            transform_values(col("m"), (_, v) => v * 2),
+            (_, v) => v > 5000L)))
+        .select(col("l_orderkey"), col("line1_qty_cents"),
+          col("key").as("l_linenumber"), col("value").as("qty2_cents"))
+    },
+
+    // ---- EV25: interval-union coverage (gaps-and-islands) -----------------
+    // Total covered wall-clock per user after merging overlapping
+    // [ts, ts+5min) activity intervals — the uptime/billable-time
+    // algebra, and the companion of ev24's peak (sweep-line) view.
+    // Islands open when the running max of prior interval ends sits
+    // strictly before the next start (end-exclusive: touching
+    // intervals merge); everything is integer µs so both engines agree
+    // bit-for-bit. ONE shuffle on user_id drives both window steps and
+    // the aggregates; per-user history is bounded, so no skew.
+    QueryDef.sql(
+      "ev25_interval_union",
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, CAST(sum(CASE WHEN pmax IS NULL OR pmax < s THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS st, max(e) AS en
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byStart = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      val iv = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 300000000L).as("e"))
+      val m = iv.withColumn("pmax",
+        max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      val isl = m.withColumn("island",
+        sum(when(col("pmax").isNull || col("pmax") < col("s"), 1L).otherwise(0L))
+          .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st")).as("covered_us"))
     }
   )
 }
