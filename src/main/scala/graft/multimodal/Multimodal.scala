@@ -220,6 +220,34 @@ object Multimodal {
       .drop("_cs", "_n", "_sum")
   }
 
+  /** Scene-change (cut) detection over the decoded frame stream: the
+    * payload is framed into fixed-length windows and each consecutive
+    * frame pair scores the sum of absolute per-sample differences; a
+    * boundary is a cut when that integer score clears a threshold.
+    * With the stub codec a "sample" is an ascii code (same boundary as
+    * `audioWindows` / `withPerceptualHash`); a real decoder swaps in
+    * with the diff algebra unchanged. All-integer per-row codegen over
+    * the scan — zero shuffle; output grows one row per frame boundary.
+    */
+  def sceneChanges(df: DataFrame, frameLen: Int = 16,
+                   threshold: Long = 512L): DataFrame = {
+    val payload = regexp_replace(col("media").cast("string"),
+      "^W:\\d+;H:\\d+;F:\\d+;", "")
+    val codes = transform(
+      filter(split(payload, ""), c => length(c) > 0), c => ascii(c).cast("long"))
+    val prev = slice(col("cs"), (col("b") - 1) * frameLen + 1, lit(frameLen))
+    val cur = slice(col("cs"), col("b") * frameLen + 1, lit(frameLen))
+    val diff = aggregate(zip_with(prev, cur, (a, x) => abs(a - x)),
+      lit(0L), (acc, v) => acc + v)
+    df.select(col("asset_id"), codes.as("cs"))
+      .withColumn("nf", expr(s"size(cs) div $frameLen").cast("int"))
+      .withColumn("b",
+        explode(when(col("nf") >= 2, sequence(lit(1), col("nf") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("asset_id"), col("b").as("boundary"), diff.as("diff"))
+      .withColumn("is_cut", col("diff") > threshold)
+  }
+
   def syntheticAssets(documents: DataFrame): DataFrame = {
     val w = (pmod(col("doc_id"), lit(64)) + 16).cast("int")
     val h = (pmod(col("doc_id") * 7, lit(64)) + 16).cast("int")

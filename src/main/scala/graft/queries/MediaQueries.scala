@@ -182,6 +182,46 @@ object MediaQueries {
         .select(col("asset_id"), col("phash"),
           count(lit(1)).over(Window.partitionBy(col("phash")))
             .cast("long").as("n_same"))
+    },
+
+    // ---- scene-change detection (frame-diff cuts) ---------------------
+    // Per video asset: for every consecutive 16-sample frame pair, the
+    // integer sum of absolute sample differences, flagged as a cut
+    // above a fixed threshold. All-integer per-row algebra → exact
+    // DuckDB twin; the codec boundary is the same honest stub as
+    // m1–m6.
+    QueryDef.sql(
+      "m7_scene_change",
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    printf('W:%d;H:%d;F:%d;',
+        |      CAST(doc_id % 64 + 16 AS BIGINT),
+        |      CAST((doc_id * 7) % 64 + 16 AS BIGINT),
+        |      CAST(doc_id % 10 + 1 AS BIGINT)) || substring(text, 1, 128) AS m
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |c AS (
+        |  SELECT asset_id,
+        |    list_transform(string_split_regex(
+        |      regexp_replace(m, '^W:[0-9]+;H:[0-9]+;F:[0-9]+;', ''), ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT)) AS cs
+        |  FROM a),
+        |n AS (SELECT asset_id, cs, len(cs) // 16 AS nf FROM c),
+        |b AS (
+        |  SELECT asset_id, cs, unnest(range(1, nf)) AS b
+        |  FROM n WHERE nf >= 2),
+        |d AS (
+        |  SELECT asset_id, CAST(b AS INTEGER) AS boundary,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 16),
+        |        j -> abs(cs[CAST((b - 1) * 16 + j + 1 AS INTEGER)]
+        |               - cs[CAST(b * 16 + j + 1 AS INTEGER)]))),
+        |      (x, y) -> x + y) AS diff
+        |  FROM b)
+        |SELECT asset_id, boundary, diff, (diff > 512) AS is_cut
+        |FROM d""".stripMargin) { (s, d) =>
+      Multimodal.sceneChanges(
+        Multimodal.syntheticAssets(Tables.documents(s, d))
+          .filter(col("media_type") === "video"))
     }
   )
 }

@@ -1251,6 +1251,59 @@ object TextQueries {
           size(array_distinct(col("tri"))).cast("long").as("n_uniq"),
           (size(array_distinct(col("tri"))).cast("double")
             / size(col("tri")).cast("double")).as("novelty"))
+    },
+
+    // ---- C13: decontaminated train/eval split -----------------------------
+    // The composition training pipelines actually run: a deterministic
+    // hash split (c6's algebra) PLUS benchmark decontamination (t6's
+    // n-gram overlap) — eval documents sharing any distinct 8-gram
+    // with the train side are flagged and dropped, so eval never
+    // contains text the model saw in train. Unlike t6 (fixed benchmark
+    // set, broadcast), the train gram set here is corpus-sized: the
+    // overlap is a SHUFFLE hash join on the gram — both sides
+    // partition by gram, nothing is collected or broadcast, which is
+    // the only shape that survives a 100 TB train split.
+    QueryDef.sql(
+      "c13_decontaminated_split",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |      THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 7, 0) + 1),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks),
+        |tr AS (
+        |  SELECT DISTINCT g FROM ng JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+        |ev AS (
+        |  SELECT ng.doc_id, ng.g FROM ng JOIN sp USING (doc_id) WHERE sp.split = 'eval')
+        |SELECT e.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(t.g) AS BIGINT) AS n_contaminated,
+        |  (count(t.g) = 0) AS kept
+        |FROM ev e LEFT JOIN tr t ON e.g = t.g
+        |GROUP BY e.doc_id""".stripMargin) { (s, d) =>
+      val k = 8
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc", "train")
+            .otherwise("eval").as("split"))
+      val m = size(col("t")) - (k - 1)
+      val grams = when(m >= 1,
+          transform(sequence(lit(1), m), i => array_join(slice(col("t"), i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val ng = staged.select(col("doc_id"), col("split"),
+        explode(array_distinct(grams)).as("g"))
+      val train = ng.filter(col("split") === "train").select("g").distinct()
+      ng.filter(col("split") === "eval")
+        .join(train.withColumn("hit", lit(1)), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+        .withColumn("kept", col("n_contaminated") === 0)
     }
   )
 }

@@ -90,6 +90,28 @@ class MultimodalSpec extends SparkSpec {
     assert(hs.length == 2 && hs(0) == hs(1))
   }
 
+  test("sceneChanges: known payload produces exact frame diffs and cut flags") {
+    // 2 frames of 16 samples: frame 1 all 'a' (97), frame 2 all 'q' (113)
+    // → one boundary, diff = 16 * |113-97| = 256, below the 512 cut line
+    val twoFrames = Seq((1L, "W:16;H:16;F:2;" + "a" * 16 + "q" * 16))
+      .toDF("asset_id", "m").withColumn("media", $"m".cast("binary")).drop("m")
+    val r = Multimodal.sceneChanges(twoFrames)
+      .select($"boundary", $"diff", $"is_cut").as[(Int, Long, Boolean)].collect()
+    assert(r.toSeq == Seq((1, 256L, false)))
+    // hard cut: frame 2 jumps 97 → 'A' (65), diff = 16*32 = 512 (not a
+    // cut — strict >), frame 3 back to 97+36=133? use '~' (126): 16*61 = 976 → cut
+    val threeFrames = Seq((2L, "W:16;H:16;F:3;" + "a" * 16 + "A" * 16 + "~" * 16))
+      .toDF("asset_id", "m").withColumn("media", $"m".cast("binary")).drop("m")
+    val r3 = Multimodal.sceneChanges(threeFrames)
+      .select($"boundary", $"diff", $"is_cut").as[(Int, Long, Boolean)].collect()
+      .sortBy(_._1)
+    assert(r3.toSeq == Seq((1, 512L, false), (2, 16L * 61, true)))
+    // payload shorter than two frames → no boundaries, no rows
+    val short = Seq((3L, "W:16;H:16;F:1;" + "a" * 20))
+      .toDF("asset_id", "m").withColumn("media", $"m".cast("binary")).drop("m")
+    assert(Multimodal.sceneChanges(short).count() == 0)
+  }
+
   test("withPerceptualHash: constant pixel stream hashes to 0 (no bit strictly above mean)") {
     val const = Seq((1L, "W:16;H:16;F:1;" + "aaaaaaaaaaaa"))
       .toDF("asset_id", "m")
