@@ -403,6 +403,31 @@ object StreamingQueries {
         |FROM b GROUP BY 1, 2""".stripMargin) { (s, d) =>
       staged(s, d, "ev19s_out")(EventStreams.chainedRollup)
         .filter(col("event_type") =!= FlushType)
+    },
+
+    // Streaming OHLC candles — ordered-selection aggregates (min_by /
+    // max_by on the (ts, event_id) total order) running inside a
+    // watermarked window aggregation, the resample loop a metrics
+    // store runs on live ticks. The oracle pins open/close via
+    // row_number over the SAME total order, so stream == batch
+    // bit-for-bit once the watermark closes each candle.
+    QueryDef.sql(
+      "ev23s_ohlc_stream",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 21600000000
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 21600000000
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT make_timestamp(bucket * 21600000000) AS win_start, event_type,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS volume
+        |FROM e GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      staged(s, d, "ev23s_out")(src => EventStreams.ohlcBars(src))
+        .filter(col("event_type") =!= FlushType)
     }
   )
 }

@@ -50,6 +50,26 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** OHLC candle downsample as a STREAMING aggregation — the streaming
+    * twin of the batch ev23 resample: per (event_type, 6-hour window)
+    * open/high/low/close/volume, where open/close are `min_by`/`max_by`
+    * on the TOTAL order (ts, event_id) so ties never make the candle
+    * nondeterministic. Ordered-selection aggregates carry one
+    * (value, key) pair per open window as state — the same bounded
+    * footprint as a sum, closed by the watermark like any windowed agg.
+    */
+  def ohlcBars(events: DataFrame, duration: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
   /** Stream-stream interval join — the streaming twin of the batch
     * `ev4_range_join` (operators.RangeJoin): clicks that fall inside a
     * per-user window opened by each error event. Spark's stream-stream
