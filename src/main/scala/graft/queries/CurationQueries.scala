@@ -489,6 +489,65 @@ object CurationQueries {
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         graft.functions.ZOrder.interleave(col("l_partkey"), col("l_suppkey"))
           .as("zval"))
+    },
+
+    // ---- proportional quota sampling (largest-remainder allocation) -----
+    // Draw a fixed budget of N=200 documents allocated across sources
+    // in exact proportion to their sizes via the Hamilton /
+    // largest-remainder method: base_s = (N·c_s) div T seats, the
+    // N − Σbase leftovers go to the largest remainders (ties broken by
+    // source name), and each source contributes its alloc_s
+    // smallest-md5 documents — fully deterministic, no RNG. All
+    // allocation arithmetic is integer (no float shares to drift).
+    // Scale shape: the allocation table is |sources| rows (tiny,
+    // broadcast); the per-source pick is a row_number window
+    // partitioned by source — bounded per source, and a skewed source
+    // falls back to c7's shard-offset rank with the algebra unchanged.
+    QueryDef.sql(
+      "c14_quota_sample",
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+        |a AS (
+        |  SELECT source, cnt, (200 * cnt) // tot AS base, (200 * cnt) % tot AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM a),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM a),
+        |al AS (
+        |  SELECT source,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        |  FROM r CROSS JOIN l),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS prk
+        |  FROM documents)
+        |SELECT rk.doc_id, rk.source, CAST(rk.prk AS BIGINT) AS pick_rank
+        |FROM rk JOIN al USING (source)
+        |WHERE rk.prk <= al.alloc""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val c = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val t = c.agg(sum(col("cnt")).as("tot"))
+      val a = c.crossJoin(broadcast(t))
+        .select(col("source"), col("cnt"),
+          expr("(200 * cnt) div tot").as("base"),
+          expr("(200 * cnt) % tot").as("rem"))
+      val lo = a.agg((lit(200L) - sum(col("base"))).as("leftover"))
+      val alloc = a
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .crossJoin(broadcast(lo))
+        .select(col("source"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+      val prk = docs.select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long").as("pick_rank"))
+      prk.join(broadcast(alloc), "source")
+        .filter(col("pick_rank") <= col("alloc"))
+        .select(col("doc_id"), col("source"), col("pick_rank"))
     }
   )
 }

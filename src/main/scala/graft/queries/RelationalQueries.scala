@@ -2400,6 +2400,66 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_islands"),
           sum(col("en") - col("st")).as("covered_us"))
+    },
+
+    // ---- A25: two-proportion z-test (experimentation readout) -------------
+    // The A/B-test decision statistic at the user-day unit: variants
+    // split by id parity, a user-day is exposed if it saw any 'view'
+    // and converts if it also logged a 'purchase'; pooled
+    // two-proportion z on the conversion rates. Counts are exact
+    // integers off ONE (user, day) aggregate (partial-agg friendly —
+    // the shuffle key is the unit key, the variant pivot is a 2-row
+    // reduction); the float tail is a single expression with IDENTICAL
+    // op order in both engines, one sqrt, rounded to 6.
+    QueryDef.sql(
+      "a25_abtest_ztest",
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 2 AS INTEGER) AS variant,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT variant, CAST(sum(exposed) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN exposed = 1 THEN converted ELSE 0 END) AS BIGINT) AS x
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |         max(CASE WHEN variant = 0 THEN x END) AS x0,
+        |         max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |         max(CASE WHEN variant = 1 THEN x END) AS x1
+        |  FROM g)
+        |SELECT n0, x0, n1, x1,
+        |  CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |         - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |         * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
+        |FROM w""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+          (col("user_id") % 2).cast("int").as("variant"))
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("exposed"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      val g = u.groupBy(col("variant"))
+        .agg(sum(col("exposed")).as("n"),
+          sum(when(col("exposed") === 1, col("converted")).otherwise(0)).as("x"))
+      val w = g.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("x"))).as("x0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("x"))).as("x1"))
+      val p0 = col("x0").cast("double") / col("n0").cast("double")
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1")).cast("double")
+      w.select(col("n0"), col("x0"), col("n1"), col("x1"),
+        p0.as("p0"), p1.as("p1"),
+        round((p1 - p0) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double"))), 6)
+          .as("z"))
     }
   )
 }
