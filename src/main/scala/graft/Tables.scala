@@ -14,8 +14,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Driver parquet has changed flavor across rounds (TIMESTAMP(NANOS),
+    * then instant-semantics micros, now naive micros which Spark 4 infers
+    * as TIMESTAMP_NTZ). Disable NTZ inference at the reader so naive
+    * parquet timestamps surface as plain TIMESTAMP — the one stable
+    * schema the whole query surface is written against. This keeps the
+    * conversion INSIDE the scan (filter pushdown on ts columns still
+    * works, unlike a cast stacked on top), and with session timezone
+    * UTC it is value-identical to DuckDB's naive reading of the files.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The remaining classic OLAP plan shapes (TPC-H Q7/Q8/Q9/Q13/Q14/Q15/
+  * Q17/Q19/Q22 analogues), adapted to the TESTDATA star schema (no
+  * partsupp table; no shipmode/commitdate columns — queries needing
+  * them are re-expressed over the columns that exist, keeping the plan
+  * shape that makes each query interesting: nation-pair equi-joins,
+  * market-share ratios, outer-join histograms, correlated aggregates
+  * de-correlated into self-joins, disjunctive pushdown, scalar
+  * subqueries, anti-joins).
+  *
+  * Scale posture shared by all: dims broadcast, fact scans filtered at
+  * the parquet reader (PushedFilters), aggregates partial+final, money
+  * sums through DECIMAL so results are identical under any partial-agg
+  * order / AQE re-plan. Ratio tails are single double divisions with
+  * identical op order in both engines.
+  */
+object TpchQueries {
+
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  /** revenue expression, op order fixed: price * (1.0 - discount) */
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Q7: volume shipping between a nation pair, by year -------------
+    // Two broadcast nation maps (supplier side, customer side) with the
+    // pair filter applied BEFORE the fact join: supplier and customer
+    // are each pre-filtered to the two nations, so the lineitem scan
+    // joins against two tiny broadcast sides and the disjunctive pair
+    // predicate runs on integer keys. One shuffle (the final group-by).
+    QueryDef.sql(
+      "q7_nation_volume",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(dec6(rev)).cast("double").as("revenue"))
+    },
+
+    // ---- Q8: market share of one nation within a region, by year --------
+    // Conditional-sum ratio: both numerator and denominator come out of
+    // ONE aggregate pass (sum + sum(CASE)), so the share needs no
+    // second scan and no join-back. The region→customer membership and
+    // the part-type filter are broadcast-pruned before the fact join.
+    // Single double division at the end (decimal-backed operands).
+    QueryDef.sql(
+      "q8_market_share",
+      """SELECT l_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |        THEN volume_dec END) AS DOUBLE)
+        |    / CAST(SUM(volume_dec) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+        |    CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6)) AS volume_dec,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |) GROUP BY l_year""".stripMargin) { (s, d) =>
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val custNat = Tables.nation(s, d)
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(custNat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supNat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val prt = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+        .select(year(col("o_orderdate")).cast("int").as("l_year"),
+          dec6(rev).as("volume_dec"), col("supp_nation"))
+        .groupBy(col("l_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("volume_dec"))).cast("double")
+          / sum(col("volume_dec")).cast("double")).cast("double").as("mkt_share"))
+    },
+
+    // ---- Q9: product-line profit by supplier nation and year ------------
+    // No partsupp ⇒ cost is modeled from the part dim (retailprice ×
+    // qty × 0.6), keeping Q9's shape: a part-name LIKE filter pruned
+    // into the part scan, per-row profit arithmetic with fixed op
+    // order, then a two-key rollup. The part and supplier/nation sides
+    // broadcast; lineitem never shuffles before the group-by.
+    QueryDef.sql(
+      "q9_product_profit",
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |    - p_retailprice * l_quantity * CAST(0.6 AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val prt = Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val profit = rev - col("p_retailprice") * col("l_quantity") * lit(0.6)
+      Tables.lineitem(s, d)
+        .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("int").as("o_year"))
+        .agg(sum(dec6(profit)).cast("double").as("profit"))
+    },
+
+    // ---- Q13: distribution of orders-per-customer -----------------------
+    // The outer-join histogram: LEFT join so zero-order customers are
+    // counted (count(o_orderkey) skips the null from a non-match), a
+    // join-side predicate (priority filter lives in the JOIN ... AND,
+    // not WHERE — moving it to WHERE would silently drop the
+    // zero-order bucket), then a second aggregate over the counts.
+    // Two shuffles, the second over ≤ max(c_count) rows.
+    QueryDef.sql(
+      "q13_order_count_dist",
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ---- Q14: promo revenue share within one month -----------------------
+    // Date-window scan (pushed to the parquet reader) + broadcast part
+    // type map + one aggregate producing numerator and denominator
+    // together; 100×ratio is the single float division at the end.
+    QueryDef.sql(
+      "q14_promo_revenue",
+      """SELECT CAST(CAST(100.0 AS DOUBLE) *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+        |  AND l_shipdate < TIMESTAMP '1998-10-01'""".stripMargin) { (s, d) =>
+      val prt = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-10-01").cast("timestamp"))
+        .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", dec6(rev))).cast("double")
+          / sum(dec6(rev)).cast("double")).cast("double").as("promo_revenue_pct"))
+    },
+
+    // ---- Q15: top supplier(s) by quarterly revenue -----------------------
+    // The scalar-subquery-max shape: revenue per supplier over one
+    // quarter, then keep the argmax row(s). Spark side joins the
+    // one-row max (broadcast) back onto the tiny revenue relation —
+    // the fact table is scanned ONCE (the rev relation is reused for
+    // both sides via its local plan, |suppliers| rows).
+    QueryDef.sql(
+      "q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin) { (s, d) =>
+      val revQ = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(dec6(rev)).cast("double").as("total_revenue"))
+      val top = revQ.agg(max(col("total_revenue")).as("max_rev"))
+      revQ.join(broadcast(top), col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // ---- Q17: small-quantity order revenue (correlated avg) -------------
+    // The correlated scalar subquery (per-part avg quantity)
+    // de-correlated the way Catalyst would: ONE extra aggregate over
+    // the brand-pruned fact rows, broadcast back onto the same scan.
+    // Threshold arithmetic is a fixed-order double expression
+    // (0.2 × decimal-backed avg); final answer is sum/7 — one division.
+    QueryDef.sql(
+      "q17_small_qty_revenue",
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem JOIN pp ON p_partkey = l_partkey
+        |  GROUP BY 1)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(7.0 AS DOUBLE) AS DOUBLE) AS avg_yearly
+        |FROM lineitem
+        |JOIN pp ON p_partkey = l_partkey
+        |JOIN a ON a.l_partkey = lineitem.l_partkey
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin) { (s, d) =>
+      val pp = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val branded = Tables.lineitem(s, d)
+        .join(broadcast(pp), col("p_partkey") === col("l_partkey"))
+      val avgQ = branded.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_qty"))
+      branded
+        .join(broadcast(avgQ), col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
+          / lit(7.0)).cast("double").as("avg_yearly"))
+    },
+
+    // ---- Q19: disjunctive predicate pushdown -----------------------------
+    // Three brand/size/quantity disjuncts. The common superset
+    // (brand ∈ {...}, size ≤ 35, quantity ≤ 40) is pushed into BOTH
+    // scans as conjunctive prefilters; the exact OR runs post-join on
+    // broadcast part attributes. One aggregate, no shuffle before it.
+    QueryDef.sql(
+      "q19_disjunctive_rev",
+      """SELECT CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, d) =>
+      val prt = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1.0, 40.0))
+        .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1.0, 21.0)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10.0, 30.0)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20.0, 40.0)))
+        .agg(sum(dec6(rev)).cast("double").as("revenue"))
+    },
+
+    // ---- Q22: well-funded customers gone idle ----------------------------
+    // Scalar-subquery threshold (avg positive balance — exact decimal
+    // mean, one division) + LEFT ANTI join against recent orders (every
+    // customer here has SOME order, so "idle" = none since 2000), then
+    // a per-nation rollup. The anti join build side is the date-pruned
+    // orders key set; balances sum through DECIMAL(18,2).
+    QueryDef.sql(
+      "q22_idle_customers",
+      """WITH thr AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |idle AS (
+        |  SELECT c_nationkey, c_acctbal FROM customer, thr
+        |  WHERE c_acctbal > avg_bal
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey
+        |        AND o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM idle GROUP BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.join(broadcast(thr), col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+    }
+  )
+}
