@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Physical-layout operators: the storage-side levers that decide
+  * whether a 100 TB job shuffles petabytes or nothing — bucketed
+  * co-located joins (u13), partition-pruned scans (u14) — plus the
+  * fan-out rewrite of sliding count-distinct (ev26) that replaces the
+  * non-scalable "distinct over a range frame" shape.
+  *
+  * Each staged layout is written once per corpus version
+  * ([[Staging.stageOnce]]) or once per session (bucketed catalog
+  * tables — the in-memory catalog does not outlive the session); the
+  * registered query measures the DOWNSTREAM read path, which is the
+  * part that exists at production scale.
+  */
+object ScaleQueries {
+
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Bucketed twins of lineitem/orders, clustered+sorted by the join
+    * key into 8 buckets (at 100 TB you'd size buckets so each is a few
+    * hundred MB — same mechanics). External location under /tmp; the
+    * catalog entry is per-session, so re-register (and rewrite — cheap,
+    * one pass) when this session hasn't seen the tables yet.
+    */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = sfTag(d)
+    val lt = s"graft_bkt_lineitem_$tag"
+    val ot = s"graft_bkt_orders_$tag"
+    if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_u13_bkt/$tag/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_u13_bkt/$tag/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+    }
+    (lt, ot)
+  }
+
+  /** The partition-pruned staging of events (PARTITIONED BY event_date)
+    * plus the one-row day marker the pruning filter binds to. Returns
+    * (stagedDir, chosenDay) — chosenDay is min(event day), computed at
+    * stage time and persisted so the measured query filters on a plain
+    * literal (static pruning, no subquery).
+    */
+  private def partitionedEvents(s: SparkSession, d: String): (String, String) = {
+    val dir = s"/tmp/graft_u14_part/${sfTag(d)}"
+    Staging.stageOnce(dir, Staging.sourceKey(d, "events")) {
+      val ev = Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")).cast("string"))
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(s"$dir/events")
+      ev.agg(min(col("event_date")).as("day"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/day")
+    }
+    val day = s.read.parquet(s"$dir/day").head.getString(0)
+    (s"$dir/events", day)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- U13: co-located bucketed join ---------------------------------
+    // Both sides pre-clustered by the join key into the same bucket
+    // count → the sort-merge join reads bucket i against bucket i with
+    // ZERO Exchange below the join (ScaleQueriesSpec pins exactly one
+    // Exchange in the whole plan: the final 3-group aggregate). This is
+    // the layout that turns the daily fact-fact join at 100 TB from a
+    // full re-shuffle of both tables into a local merge. The merge hint
+    // keeps the plan on the co-located SMJ path even where AQE would
+    // broadcast the small side at test scale.
+    QueryDef.sql(
+      "u13_bucketed_join",
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val (lt, ot) = bucketedTables(s, d)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ---- U14: partition-pruned scan ------------------------------------
+    // Day-partitioned layout + a literal partition predicate: the scan
+    // touches ONE partition directory (ScaleQueriesSpec asserts every
+    // input file sits under event_date=<day>), so a one-day query over
+    // a 10-year store reads 1/3650th of the data before any executor
+    // starts. The oracle recomputes the same day from the flat table.
+    QueryDef.sql(
+      "u14_partition_pruned_scan",
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) =
+        |  (SELECT CAST(min(CAST(ts AS DATE)) AS VARCHAR) FROM events)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val (dir, day) = partitionedEvents(s, d)
+      s.read.parquet(dir)
+        .filter(col("event_date") === lit(day))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+    },
+
+    // ---- EV26: sliding-window distinct users (DAU / 7-day MAU) ---------
+    // Count-distinct over a sliding date range does NOT compose from
+    // per-day partials, and the naive range-frame formulation drags
+    // every row of the window past every day. The scalable rewrite:
+    // collapse to the (user, day) grain first (one keyed shuffle, the
+    // big one), fan each row out to the ≤7 report days it contributes
+    // to, then ONE distinct-aggregate keyed by day. The report-day
+    // calendar is broadcast (bounded by days, not data). Stickiness is
+    // a single double division of exact integers.
+    QueryDef.sql(
+      "ev26_dau_mau",
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS report_day FROM ud)
+        |SELECT report_day AS day,
+        |  CAST(count(DISTINCT CASE WHEN u.day = report_day THEN u.user_id END) AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau7,
+        |  CAST(CAST(count(DISTINCT CASE WHEN u.day = report_day THEN u.user_id END) AS DOUBLE)
+        |    / CAST(count(DISTINCT u.user_id) AS DOUBLE) AS DOUBLE) AS stickiness
+        |FROM days JOIN ud u ON u.day BETWEEN report_day - INTERVAL 6 DAY AND report_day
+        |GROUP BY report_day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = ud.select(col("day").as("report_day")).distinct()
+      ud.select(col("user_id"), col("day"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+        .join(broadcast(days), "report_day")
+        .groupBy(col("report_day"))
+        .agg(
+          countDistinct(when(col("day") === col("report_day"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("mau7"))
+        .select(col("report_day").as("day"), col("dau"), col("mau7"),
+          (col("dau").cast("double") / col("mau7").cast("double"))
+            .cast("double").as("stickiness"))
+    }
+  )
+}

@@ -1304,6 +1304,53 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
         .withColumn("kept", col("n_contaminated") === 0)
+    },
+
+    // ---- PMI collocations (phrase mining for tokenizer/vocab prep) ------
+    // pmi(w1,w2) = ln(c12·N / (c1·c2)) over corpus bigram/unigram
+    // counts — top collocations by ROUNDED score (round-then-rank so
+    // both engines break ties identically; round(6) absorbs libm ln
+    // divergence). All counts are exact integers from two keyed
+    // shuffles (unigram, bigram); the two vocab joins are shuffle
+    // joins on the word key (a web-scale vocab doesn't broadcast); N
+    // is a one-row cross join. Top-50 runs as TakeOrdered (per-
+    // partition heads + driver merge), never a global sort.
+    QueryDef.sql(
+      "t28_pmi_collocations",
+      """WITH tok AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |uni AS (
+        |  SELECT u AS w, CAST(count(*) AS BIGINT) AS cw
+        |  FROM (SELECT unnest(t) AS u FROM tok) GROUP BY 1),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bi)
+        |SELECT w1, w2, c12,
+        |  round(ln(CAST(c12 * nb AS DOUBLE) / CAST(u1.cw * u2.cw AS DOUBLE)), 6) AS pmi
+        |FROM bi CROSS JOIN n
+        |JOIN uni u1 ON u1.w = w1
+        |JOIN uni u2 ON u2.w = w2
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d).select(tokens(col("text")).as("t"))
+      val uni = tok.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val bi = tok.filter(size(col("t")) >= 2)
+        .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val n = bi.agg(sum(col("c12")).as("nb"))
+      bi.filter(col("c12") >= 5)
+        .crossJoin(broadcast(n))
+        .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") * col("nb")).cast("double")
+            / (col("cw1") * col("cw2")).cast("double")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
     }
   )
 }

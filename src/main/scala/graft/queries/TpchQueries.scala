@@ -325,6 +325,51 @@ object TpchQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+    },
+
+    // ---- Q21: the supplier who held up the order -------------------------
+    // TPC-H Q21's double-correlated EXISTS / NOT EXISTS, re-expressed
+    // over the columns that exist (no commit/receipt dates): blame the
+    // supplier whose latest ship date in a multi-supplier order is the
+    // STRICT maximum (exists another supplier in the order; not exists
+    // one who shipped as late). De-correlated into two keyed aggregates
+    // + a same-key join — every shuffle is on l_orderkey, no
+    // per-order subquery execution. The unique-argmax test is
+    // "count(*)=1 on the winners", computed group-wise, and the final
+    // per-supplier rollup joins the broadcast supplier dim.
+    QueryDef.sql(
+      "q21_blame_supplier",
+      """WITH per AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+        |  FROM lineitem GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT l_orderkey, max(s_max) AS o_max, count(*) AS n_supp
+        |  FROM per GROUP BY 1),
+        |win AS (
+        |  SELECT p.l_orderkey, p.l_suppkey
+        |  FROM per p JOIN ord o ON p.l_orderkey = o.l_orderkey
+        |  WHERE o.n_supp >= 2 AND p.s_max = o.o_max),
+        |uniq AS (
+        |  SELECT l_orderkey, min(l_suppkey) AS w_suppkey
+        |  FROM win GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM uniq JOIN supplier ON s_suppkey = w_suppkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("s_max"))
+      val ord = per.groupBy(col("l_orderkey"))
+        .agg(max(col("s_max")).as("o_max"), count(lit(1)).as("n_supp"))
+      val win = per.join(ord, "l_orderkey")
+        .filter(col("n_supp") >= 2 && col("s_max") === col("o_max"))
+      val uniq = win.groupBy(col("l_orderkey"))
+        .agg(min(col("l_suppkey")).as("w_suppkey"), count(lit(1)).as("n_win"))
+        .filter(col("n_win") === 1)
+      uniq.join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("w_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     }
   )
 }

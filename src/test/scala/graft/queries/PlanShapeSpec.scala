@@ -95,4 +95,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("u13: bucketed fact join runs co-located — only the final agg shuffles") {
+    val p = plan("u13_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // exactly ONE Exchange in the whole plan: hashpartitioning on
+    // o_orderstatus for the final aggregate. Zero below the join —
+    // both scans are bucketed by the join key.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 Exchange (final agg), got $exchanges:\n$p")
+  }
+
+  test("u14: one-day query reads exactly one partition directory") {
+    val df = SparkEntry.queries("u14_partition_pruned_scan")(spark, sf())
+    // inputFiles reports the pre-pruning listing; the pruned set lives
+    // on the scan node itself.
+    val top = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = top.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val listing = scans.head.selectedPartitions
+    val parts = listing.toPartitionArray
+      .map(f => new java.io.File(f.urlEncodedPath).getParentFile.getName).distinct
+    assert(listing.partitionCount == 1 && parts.sameElements(Array("event_date=2024-01-01")),
+      s"expected a single pruned partition, scanned: ${parts.mkString(",")}")
+  }
+
+  test("ev26: sliding distinct fans out to the calendar broadcast, one keyed agg") {
+    val p = plan("ev26_dau_mau")
+    assert(p.contains("BroadcastHashJoin"), p) // report-day calendar broadcasts
+    assert(!p.contains("SortMergeJoin"), p)    // the fact side never re-shuffles to join
+  }
 }
