@@ -370,6 +370,155 @@ object TpchQueries {
           col("s_suppkey") === col("w_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
+    },
+
+    // ---- Q2: minimum-cost supplier (correlated MIN, argmin join) --------
+    // No partsupp table ⇒ the part-supplier relation is DERIVED from
+    // observed lineitems: unit cost = min(extendedprice/quantity) per
+    // (part, supplier) — one float division per row, identical op
+    // order both engines, so the min and the argmin equality compare
+    // bit-identically. Q2's correlated scalar MIN de-correlates into a
+    // per-part aggregate joined back by equality; the region-filtered
+    // supplier side broadcasts; ties emit all witnesses (same set both
+    // engines).
+    QueryDef.sql(
+      "q2_min_cost_supplier",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS ps_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |elig AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |c AS (
+        |  SELECT l_partkey, l_suppkey, ps_cost, s_name, n_name
+        |  FROM ps JOIN elig ON s_suppkey = l_suppkey),
+        |m AS (SELECT l_partkey AS m_key, min(ps_cost) AS min_cost FROM c GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_name, n_name, ps_cost AS cost
+        |FROM c JOIN m ON l_partkey = m_key AND ps_cost = min_cost
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size = 15""".stripMargin) { (s, d) =>
+      val elig = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))
+        .join(broadcast(elig), col("s_suppkey") === col("l_suppkey"))
+      val m = c.groupBy(col("l_partkey").as("m_key")).agg(min(col("ps_cost")).as("min_cost"))
+      c.join(m, col("l_partkey") === col("m_key") && col("ps_cost") === col("min_cost"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          col("ps_cost").as("cost"))
+    },
+
+    // ---- Q11: important stock value (HAVING vs scalar subquery) ---------
+    // Per-part value held by one nation's suppliers, kept when it
+    // exceeds a fraction of the nation's TOTAL — the group-filter-by-
+    // global-aggregate shape. Both sums run through DECIMAL (exact
+    // under any partial-agg order); the threshold compare is one
+    // double multiply each side. The total is a one-row broadcast, so
+    // the fact side aggregates ONCE and filters locally — no second
+    // scan, no re-shuffle.
+    QueryDef.sql(
+      "q11_important_stock",
+      """WITH nsup AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'),
+        |v AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |  FROM lineitem JOIN nsup ON s_suppkey = l_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM v)
+        |SELECT l_partkey, part_value
+        |FROM v CROSS JOIN t
+        |WHERE part_value > total * CAST(0.001 AS DOUBLE)""".stripMargin) { (s, d) =>
+      val nsup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(nsup), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("part_value"))
+      val t = v.agg(sum(col("part_value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      v.crossJoin(broadcast(t))
+        .filter(col("part_value") > col("total") * lit(0.001))
+        .select(col("l_partkey"), col("part_value"))
+    },
+
+    // ---- Q16: supplier diversity per part class (NOT IN + distinct) -----
+    // Count DISTINCT suppliers per (brand, size) over the derived
+    // part-supplier pairs, excluding a supplier denylist (negative
+    // balance) — the NOT-IN shape as a broadcast LEFT ANTI join, then
+    // a two-key distinct aggregate (Spark expands it to two hash
+    // aggregates; no row explosion). Pair derivation is the same
+    // keyed shuffle as q2's.
+    QueryDef.sql(
+      "q16_supplier_diversity",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (
+        |  SELECT l_partkey, l_suppkey FROM pairs
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+        |SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok JOIN part ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(bad), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") =!= "PROMO")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // ---- Q20: dominant supplier (nested aggregate-threshold semi-join) --
+    // Q20's excess-stock shape over the derived relation: a supplier
+    // qualifies if for SOME part it shipped more than half that part's
+    // 1998 volume. Two keyed aggregates on the same shuffle key (the
+    // per-(part,supplier) rollup re-aggregates to per-part WITHOUT a
+    // new shuffle — same-key partial), the >half filter, then a
+    // distinct semi-join into the broadcast supplier dim.
+    QueryDef.sql(
+      "q20_dominant_supplier",
+      """WITH psq AS (
+        |  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey AS t_key, CAST(SUM(CAST(sq AS DECIMAL(18,2))) AS DOUBLE) AS tq
+        |  FROM psq GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM psq JOIN tot ON l_partkey = t_key
+        |  WHERE sq > tq * CAST(0.5 AS DOUBLE))
+        |SELECT s_name, n_name
+        |FROM supplier JOIN dom ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin) { (s, d) =>
+      val psq = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sq"))
+      val tot = psq.groupBy(col("l_partkey").as("t_key"))
+        .agg(sum(col("sq").cast(DecimalType(18, 2))).cast("double").as("tq"))
+      val dom = psq.join(tot, col("l_partkey") === col("t_key"))
+        .filter(col("sq") > col("tq") * lit(0.5))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(dom, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
     }
   )
 }
