@@ -519,6 +519,62 @@ object TpchQueries {
         .join(dom, col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_name"), col("n_name"))
+    },
+
+    // ---- Q4: order priority with EXISTS (semi-join count) ---------------
+    // No commit/receipt dates ⇒ "delayed" = some line shipped more
+    // than 60 days after the order date. The EXISTS runs as a LEFT
+    // SEMI join on the order key — the lineitem side is pre-filtered
+    // and deduplicated by key BEFORE the join (a semi-join build side
+    // never needs more than the key set), then one small group-by on
+    // priority. Date-range filter on orders pushes to the scan.
+    QueryDef.sql(
+      "q4_priority_count",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      ord.join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ---- Q12: shipping-class priority split (join + conditional agg) ----
+    // Q12's shape with l_linestatus standing in for shipmode: join the
+    // date-windowed fact to orders and produce BOTH priority counters
+    // in ONE conditional aggregate — no pivot, no second pass. The
+    // lineitem date filter pushes to the scan; orders joins broadcast
+    // at dim scale and shuffled at fact scale (AQE decides).
+    QueryDef.sql(
+      "q12_ship_priority_split",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).cast("long").as("low_line_count"))
     }
   )
 }
