@@ -1791,6 +1791,48 @@ object RelationalQueries {
           .over(byPrice.rowsBetween(-2, Window.currentRow)).as("lag2_key"))
     },
 
+    // ---- W7: exact EWMA (α=1/2, 16-lag) per user time series -----------
+    // The recursive smoother e_t = α·v_t + (1-α)·e_{t-1} is iterative
+    // float math — un-oracle-able (see STATE gotchas). With α=1/2 it
+    // telescopes to integer weights 2^j over a bounded 16-lag window:
+    // N = Σ_{k<m} cents_{t-k}·2^(15-k), D = 2^(16-m)·(2^m−1), both
+    // EXACT integers (≤2^51), and the smoothed value is ONE float
+    // division N/D — so the classic streaming-feature recurrence sits
+    // under the bit-exact hash gate. One partitioned window per user
+    // (keyed shuffle, no global ordering); weights truncate below
+    // 2^-16 exactly where the float recurrence loses them anyway.
+    QueryDef.sql(
+      "w7_ewma_exact", {
+        val lags = (0 to 15).map(k =>
+          s"COALESCE(CAST(lag(cents, $k) OVER w AS BIGINT) * ${1L << (15 - k)}, 0)")
+          .mkString(" + ")
+        s"""WITH c AS (
+           |  SELECT event_id, user_id, ts,
+           |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
+           |  FROM events)
+           |SELECT event_id, user_id,
+           |  CAST(($lags) AS DOUBLE)
+           |    / CAST((1 << (16 - least(CAST(row_number() OVER w AS BIGINT), 16)))
+           |        * ((1 << least(CAST(row_number() OVER w AS BIGINT), 16)) - 1) AS DOUBLE)
+           |    AS ewma
+           |FROM c
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cents = floor(col("value") * lit(100.0)).cast("long")
+      val num = (0 to 15).map(k =>
+          coalesce(lag(col("cents"), k).over(w) * lit(1L << (15 - k)), lit(0L)))
+        .reduce(_ + _)
+      val m = least(row_number().over(w).cast("long"), lit(16L))
+      val den = call_function("shiftleft", lit(1L), (lit(16L) - m).cast("int")) *
+        (call_function("shiftleft", lit(1L), m.cast("int")) - 1L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), cents.as("cents"))
+        .select(col("event_id"), col("user_id"),
+          (num.cast("double") / den.cast("double")).as("ewma"))
+    },
+
     // ---- F4: array higher-order functions ---------------------------------
     // The codegen'd array surface (transform / filter / aggregate /
     // zip_with / slice / contains) against DuckDB's list lambdas — the
