@@ -203,10 +203,12 @@ object TpchQueries {
 
     // ---- Q15: top supplier(s) by quarterly revenue -----------------------
     // The scalar-subquery-max shape: revenue per supplier over one
-    // quarter, then keep the argmax row(s). Spark side joins the
-    // one-row max (broadcast) back onto the tiny revenue relation —
-    // the fact table is scanned ONCE (the rev relation is reused for
-    // both sides via its local plan, |suppliers| rows).
+    // quarter, then keep the argmax row(s). The aggregated relation
+    // (|suppliers| rows) is persist()ed so the fact table is scanned
+    // ONCE — AQE's stage cache does NOT dedupe the two identical
+    // scan→agg subtrees here (verified: two FileScans without it), and
+    // at 100 TB the rescan is the whole cost. PlanShapeSpec pins the
+    // single-scan plan; Bench clears the cache between queries.
     QueryDef.sql(
       "q15_top_supplier",
       """WITH rev AS (
@@ -224,6 +226,7 @@ object TpchQueries {
           col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(dec6(rev)).cast("double").as("total_revenue"))
+        .persist()
       val top = revQ.agg(max(col("total_revenue")).as("max_rev"))
       revQ.join(broadcast(top), col("total_revenue") === col("max_rev"))
         .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),

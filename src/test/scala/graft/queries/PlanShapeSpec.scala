@@ -125,6 +125,33 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single pruned partition, scanned: ${parts.mkString(",")}")
   }
 
+  test("q15: the per-supplier revenue stage is computed once, reused for the max") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf())
+    try {
+      df.collect()
+      // The persisted per-supplier relation must make the fact scan
+      // unique — without it AQE leaves two identical scan→agg
+      // subtrees (verified; its stage cache does not dedupe them).
+      // Walk the final adaptive tree WITHOUT descending into cached
+      // relations: no direct lineitem FileScan may remain, and both
+      // consumers must read the cache.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val factScans = nodes.collect {
+        case f: FileSourceScanExec if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+      }
+      assert(factScans.isEmpty, s"fact scanned outside the cache: $factScans")
+      val cacheReads = nodes.count(_.getClass.getSimpleName.contains("InMemoryTableScan"))
+      assert(cacheReads == 2, s"expected both consumers on the cache, got $cacheReads")
+    } finally spark.catalog.clearCache()
+  }
+
   test("ev26: sliding distinct fans out to the calendar broadcast, one keyed agg") {
     val p = plan("ev26_dau_mau")
     assert(p.contains("BroadcastHashJoin"), p) // report-day calendar broadcasts
