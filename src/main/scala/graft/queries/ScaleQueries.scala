@@ -22,6 +22,14 @@ object ScaleQueries {
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Pre-build both staged layouts untimed (called from Warmup so the
+    * benched queries measure only the read path).
+    */
+  def warmStaging(s: SparkSession, d: String): Unit = {
+    bucketedTables(s, d)
+    partitionedEvents(s, d)
+  }
+
   /** Bucketed twins of lineitem/orders, clustered+sorted by the join
     * key into 8 buckets (at 100 TB you'd size buckets so each is a few
     * hundred MB — same mechanics). External location under /tmp; the
