@@ -159,6 +159,54 @@ object ScaleQueries {
         .select(col("report_day").as("day"), col("dau"), col("mau7"),
           (col("dau").cast("double") / col("mau7").cast("double"))
             .cast("double").as("stickiness"))
+    },
+
+    // ---- EV27: time-bounded conversion funnel --------------------------
+    // view → click → purchase where every later step must land inside
+    // ONE HOUR of the first view (ev6 is the unbounded variant). The
+    // per-step "first event after X within horizon" reductions are
+    // keyed min-aggregates joined user-to-user — each stage reuses the
+    // same shuffle key, so the whole funnel is one partitioning of the
+    // event stream, no windows, no per-user sort. Horizon math is
+    // exact integer µs.
+    QueryDef.sql(
+      "ev27_timed_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, max(t1) AS ct1, min(us) AS t2
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(us) AS t3
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND us > t2 AND us <= ct1 + 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS INT) AS steps,
+        |  t1, t2, t3
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin) { (s, d) =>
+      val hourUs = 3600000000L
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + hourUs)
+        .groupBy("user_id").agg(max(col("t1")).as("ct1"), min(col("us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("ct1") + hourUs)
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)).cast("int").as("steps"),
+          col("t1"), col("t2"), col("t3"))
     }
   )
 }
