@@ -106,6 +106,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 Exchange (final agg), got $exchanges:\n$p")
   }
 
+  test("u13: a point lookup on the bucket key prunes to one bucket") {
+    SparkEntry.queries("u13_bucketed_join")(spark, sf()) // ensures tables staged
+    val tag = new java.io.File(sf()).getName.replaceAll("[^A-Za-z0-9]", "_")
+    // a bare point lookup has no join/agg for autoBucketedScan to
+    // optimize, so pin the bucketed read on for the pruning path
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val p = spark.table(s"graft_bkt_lineitem_$tag")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning must skip 7/8 of the data:\n$p")
+    } finally spark.conf.set(key, before)
+  }
+
   test("u14: one-day query reads exactly one partition directory") {
     val df = SparkEntry.queries("u14_partition_pruned_scan")(spark, sf())
     // inputFiles reports the pre-pruning listing; the pruned set lives
