@@ -1833,6 +1833,44 @@ object RelationalQueries {
           (num.cast("double") / den.cast("double")).as("ewma"))
     },
 
+    // ---- W8: exact rolling median (15-row window per user) -------------
+    // Rolling robust statistics with NO percentile interpolation in
+    // the hash path (engines disagree on interpolation — see a21):
+    // the frame's integer cents are collected, sorted, and the two
+    // middle ranks averaged with ONE float division (odd frames hit
+    // the same element twice — (2a)/2.0 is exact). The window is
+    // bounded (15 rows), partitioned per user — no global ordering,
+    // state O(frame) per row.
+    QueryDef.sql(
+      "w8_rolling_median",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id,
+        |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM c)
+        |SELECT event_id, user_id,
+        |  CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+        |     + arr[CAST(len(arr) // 2 + 1 AS INT)] AS DOUBLE)
+        |    / CAST(2.0 AS DOUBLE) AS roll_median
+        |FROM f""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-14, Window.currentRow)
+      val cents = floor(col("value") * lit(100.0)).cast("long")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), cents.as("cents"))
+        .select(col("event_id"), col("user_id"),
+          sort_array(collect_list(col("cents")).over(w)).as("arr"))
+        .select(col("event_id"), col("user_id"),
+          ((element_at(col("arr"), ((size(col("arr")) + 1) / 2).cast("int"))
+            + element_at(col("arr"), (size(col("arr")) / 2 + 1).cast("int"))).cast("double")
+            / lit(2.0)).as("roll_median"))
+    },
+
     // ---- F4: array higher-order functions ---------------------------------
     // The codegen'd array surface (transform / filter / aggregate /
     // zip_with / slice / contains) against DuckDB's list lambdas — the
