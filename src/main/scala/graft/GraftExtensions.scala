@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getCanonicalName, "graft_overlap"),
       (children: Seq[Expression]) => SortedOverlap(children.head, children(1))))
+    // band-join → bucketed equi-join rewrite (plans.RangeJoinRewrite):
+    // the whole-plan rung of the extension ladder — a Rule[LogicalPlan]
+    // for semantics the built-in planner can only express as a
+    // nested-loop join
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }
 }

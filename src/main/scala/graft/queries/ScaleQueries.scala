@@ -207,6 +207,35 @@ object ScaleQueries {
           (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
             + when(col("t3").isNotNull, 1).otherwise(0)).cast("int").as("steps"),
           col("t1"), col("t2"), col("t3"))
+    },
+
+    // ---- EV28: band join through the optimizer rewrite -----------------
+    // Written as the NAIVE band join a user would type — no manual
+    // bucketing (ev4 does that composition by hand). The merge hint
+    // opts into plans.RangeJoinRewrite, which turns the would-be
+    // nested-loop join into a bucketed shuffled equi join inside the
+    // optimizer. The oracle is the same naive SQL in DuckDB — the
+    // rewrite must be invisible in the result, and the hash gate
+    // proves it. RangeJoinRewriteSpec pins the plan switch and the
+    // null/inverted-interval edges.
+    QueryDef.sql(
+      "ev28_auto_range_join",
+      """SELECT c.event_id AS click_id, e.event_id AS err_id
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id,
+        |        ts - INTERVAL 5 MINUTE AS lo, ts + INTERVAL 5 MINUTE AS hi
+        |      FROM events WHERE event_type = 'error') e
+        |  ON c.ts >= e.lo AND c.ts <= e.hi""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val wins = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (col("ts") - expr("INTERVAL 5 MINUTES")).as("lo"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("hi"))
+      clicks.join(wins.hint("merge"),
+          col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select(col("click_id"), col("err_id"))
     }
   )
 }
