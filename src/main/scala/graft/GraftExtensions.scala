@@ -26,5 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // for semantics the built-in planner can only express as a
     // nested-loop join
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+    // native as-of join (plans.NativeAsofJoin): marker function →
+    // logical node (optimizer rule) → custom SparkStrategy → physical
+    // co-partitioned streaming merge
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[graft.plans.AsofMarker].getCanonicalName, "graft_asof"),
+      (children: Seq[Expression]) =>
+        graft.plans.AsofMarker(children(0), children(1), children(2), children(3))))
+    ext.injectOptimizerRule(session => graft.plans.AsofRewrite(session))
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofStrategy)
   }
 }

@@ -236,6 +236,31 @@ object ScaleQueries {
       clicks.join(wins.hint("merge"),
           col("ts") >= col("lo") && col("ts") <= col("hi"))
         .select(col("click_id"), col("err_id"))
+    },
+
+    // ---- EV29: native as-of join (custom physical operator) ------------
+    // The SAME as-of semantics as ev3, executed by the custom
+    // SparkStrategy/SparkPlan (plans.NativeAsofJoin) instead of the
+    // union+window composition: each side shuffles once on its own
+    // key, sorts (key, time), and a per-partition two-pointer merge
+    // holds ONE buffered right row. Same DuckDB ASOF LEFT JOIN oracle
+    // — two independent implementations and a third engine agreeing
+    // bit-for-bit. NativeAsofSpec pins exec selection and edge cases.
+    QueryDef.sql(
+      "ev29_asof_native",
+      """WITH ord AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot,
+        |         MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY o_custkey, CAST(o_orderdate AS TIMESTAMP))
+        |SELECT e.event_id, e.user_id, o.last_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ot""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        .join(ord, expr("graft_asof(user_id, o_custkey, ts, ot)"), "left")
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
     }
   )
 }
