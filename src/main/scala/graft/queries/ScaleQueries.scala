@@ -261,6 +261,52 @@ object ScaleQueries {
       Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
         .join(ord, expr("graft_asof(user_id, o_custkey, ts, ot)"), "left")
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
+    },
+
+    // ---- A30: RFM segmentation -----------------------------------------
+    // Recency / frequency / monetary terciles per user — the classic
+    // customer-value cube. One keyed aggregate to the user grain
+    // (recency µs, count, exact monetary cents for a deterministic
+    // unique ordering), then THREE equi-depth ntiles — each via the
+    // two-phase ShardedRank + closed-form bucket (c12's pattern), so
+    // a billion-user base never hits an unpartitioned window. The
+    // ntile closed form is pure integer arithmetic — bit-identical to
+    // the oracle's ntile(3) at any parallelism.
+    QueryDef.sql(
+      "a30_rfm_segments",
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS mon_c
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT user_id,
+        |    ntile(3) OVER (ORDER BY rec, user_id) AS r_bin,
+        |    ntile(3) OVER (ORDER BY freq, user_id) AS f_bin,
+        |    ntile(3) OVER (ORDER BY mon_c, user_id) AS m_bin
+        |  FROM u)
+        |SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_users
+        |FROM b GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("rec"),
+          count(lit(1)).as("freq"),
+          (sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long").as("mon_c"))
+      def ntile3(df: DataFrame, rank: String, bin: String): DataFrame = df
+        .withColumn(bin, expr(
+          s"""cast(case when $rank <= (__n % 3) * (__n div 3 + 1)
+             |  then ($rank - 1) div (__n div 3 + 1)
+             |  else (__n % 3) + ($rank - (__n % 3) * (__n div 3 + 1) - 1) div (__n div 3)
+             |end + 1 as int)""".stripMargin))
+      var t = graft.operators.ShardedRank.withRank(u, "__r1", col("rec"), col("user_id"))
+      t = graft.operators.ShardedRank.withRank(t, "__r2", col("freq"), col("user_id"))
+      t = graft.operators.ShardedRank.withRank(t, "__r3", col("mon_c"), col("user_id"))
+      t = t.crossJoin(broadcast(u.agg(count(lit(1)).as("__n"))))
+      t = ntile3(t, "__r1", "r_bin")
+      t = ntile3(t, "__r2", "f_bin")
+      t = ntile3(t, "__r3", "m_bin")
+      t.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 }
