@@ -307,6 +307,44 @@ object ScaleQueries {
       t = ntile3(t, "__r3", "m_bin")
       t.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ---- U15: erasure propagation audit (right-to-be-forgotten) --------
+    // Given a deletion list (keyed md5 bucket — deterministic, survives
+    // re-sharding, same idiom as c6's split), audit every table that
+    // carries the subject key: rows scanned, rows to erase, rows
+    // surviving. The list broadcasts; each fact table is ONE scan with
+    // a conditional aggregate (no second anti-join pass), and the
+    // per-table audits union into the compliance report. At 100 TB
+    // this is the shape an erasure job's dry-run takes — the actual
+    // delete rewrites only the files the broadcast join flags.
+    QueryDef.sql(
+      "u15_erasure_audit",
+      """WITH del AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'),
+        |e AS (
+        |  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+        |  FROM events l LEFT JOIN del d ON l.user_id = d.user_id),
+        |o AS (
+        |  SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+        |  FROM orders l LEFT JOIN del d ON l.o_custkey = d.user_id)
+        |SELECT tbl, n_rows, n_erased, CAST(n_rows - n_erased AS BIGINT) AS n_after
+        |FROM (SELECT * FROM e UNION ALL SELECT * FROM o)""".stripMargin) { (s, d) =>
+      val del = Tables.events(s, d)
+        .filter(substring(md5(col("user_id").cast("string")), 1, 1) === "0")
+        .select(col("user_id")).distinct()
+      val delR = del.withColumnRenamed("user_id", "__del_uid").withColumn("__hit", lit(1))
+      def audit(df: DataFrame, key: String, tbl: String): DataFrame = df
+        .join(broadcast(delR), df.col(key) === col("__del_uid"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_erased"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_erased"),
+          (col("n_rows") - col("n_erased")).as("n_after"))
+      audit(Tables.events(s, d), "user_id", "events")
+        .unionAll(audit(Tables.orders(s, d), "o_custkey", "orders"))
     }
   )
 }
