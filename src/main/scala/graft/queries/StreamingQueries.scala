@@ -428,6 +428,38 @@ object StreamingQueries {
         |FROM e GROUP BY 1, 2""".stripMargin) { (s, d) =>
       staged(s, d, "ev23s_out")(src => EventStreams.ohlcBars(src))
         .filter(col("event_type") =!= FlushType)
+    },
+
+    // Streaming Bollinger breakouts — a trailing per-key FRAME as
+    // transformWithState (count + last-7 ring in one ValueState,
+    // RocksDB-backed), the live twin of batch w10. The sqrt-free
+    // integer band test makes the streaming ALERT SET bit-identical to
+    // the batch window formulation, which is the oracle — the property
+    // a paging monitor actually needs (same alerts online as in the
+    // backfill).
+    QueryDef.sql(
+      "ev34s_stream_bollinger",
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, x,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  2 * (8 * x - s) * (8 * x - s) > 64 * q - 8 * s * s AS breakout
+        |FROM f WHERE rk >= 8""".stripMargin) { (s, d) =>
+      staged(s, d, "ev34s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.bollingerFlags(src.as[EventStreams.Event]).toDF()
+      }.filter(col("user_id") >= 0)
     }
   )
 }

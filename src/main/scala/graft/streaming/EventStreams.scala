@@ -246,6 +246,62 @@ object EventStreams {
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OM.Append())
   }
 
+  final case class BollFlag(user_id: Long, event_id: Long, breakout: Boolean)
+  /** Per-user trailing frame for the streaming Bollinger monitor:
+    * event count + the last ≤7 values in 1e-4-dollar units (oldest
+    * first) — O(1) state per key, the same discipline as sessions.
+    */
+  final case class BollState(n: Long, win: Array[Long])
+
+  /** Streaming Bollinger-band breakout detection on transformWithState:
+    * the stateful twin of the batch w10 operator. For each event with a
+    * full trailing frame (8th-onward per user) the alert test is the
+    * sqrt-free integer identity 2·(8x−S)² > 64·Q − 8·S² over the
+    * frame's exact integer units — so the STREAMING alert set is
+    * bit-identical to the batch window formulation, which is the
+    * oracle. Values quantize exactly like Spark's
+    * cast(value AS DECIMAL(18,4))·10⁴ (HALF_UP at scale 4).
+    */
+  class BollingerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, BollFlag] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[BollState] = _
+    private def units(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP).movePointRight(4).longValueExact()
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BollState]("boll",
+        org.apache.spark.sql.Encoders.product[BollState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[BollFlag] = {
+      var s = if (st.exists()) st.get() else BollState(0L, Array.empty[Long])
+      val out = Seq.newBuilder[BollFlag]
+      rows.toArray
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          val x = units(e.value)
+          val n = s.n + 1
+          if (n >= 8) {
+            val frame = s.win.takeRight(7) :+ x
+            var sum = 0L; var q = 0L
+            frame.foreach { v => sum += v; q += v * v }
+            val dev = 8L * x - sum
+            out += BollFlag(key, e.event_id, 2L * dev * dev > 64L * q - 8L * sum * sum)
+          }
+          s = BollState(n, (s.win :+ x).takeRight(7))
+        }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  def bollingerFlags(events: Dataset[Event]): Dataset[BollFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new BollingerProcessor, TimeMode.None(), OM.Append())
+  }
+
   /** Open session + its registered timer expiry (timers must be
     * DELETED when a session extends, so the expiry travels in state).
     */

@@ -16,7 +16,7 @@ import graft.{SparkEntry, SparkSpec}
 class QueriesSmokeSpec extends SparkSpec {
 
   SparkEntry.queries.toSeq.sortBy(_._1)
-    .filterNot(_._1.matches("ev\\ds_.*")) // staged streaming twins
+    .filterNot(_._1.matches("ev\\d+s_.*")) // staged streaming twins
     .foreach { case (name, fn) =>
       test(s"$name runs at sf0.001") {
         // sf0.001 is tiny; similarity/near-dup queries may legitimately

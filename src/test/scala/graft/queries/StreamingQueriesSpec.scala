@@ -59,4 +59,25 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > 0)
   }
+
+  test("ev34s streaming Bollinger alerts == batch window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = q("ev34s_stream_bollinger")(spark, sf())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-7, Window.currentRow)
+    val x = (col("value").cast(DecimalType(18, 4)) * lit(10000)).cast("long")
+    val f = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), x.as("x"))
+      .withColumn("s", sum(col("x")).over(frame))
+      .withColumn("q", sum(col("x") * col("x")).over(frame))
+      .withColumn("rk", row_number().over(w))
+    val dev = lit(8) * col("x") - col("s")
+    val batch = f.filter(col("rk") >= 8)
+      .select(col("user_id"), col("event_id"),
+        (lit(2) * dev * dev > lit(64) * col("q") - lit(8) * col("s") * col("s"))
+          .as("breakout"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
 }
