@@ -89,8 +89,19 @@ object TextFunctions {
     * Order-sensitive document fingerprint (reference-style content
     * identity without storing the text). Modulus keeps the accumulator
     * within Long range (no ANSI overflow).
+    *
+    * Implemented by the native codegen'd [[RollingHash]] (in-place
+    * string walk); [[rollingFingerprintComposed]] is the built-in
+    * formulation it is pinned against (same fold, same hashes — but
+    * one single-char UTF8String allocation per character per row).
     */
   def rollingFingerprint(text: Column): Column =
+    RollingHash.rollhashNative(text)
+
+  /** The pre-native composed formulation (kept for the equality spec
+    * and as the no-extensions fallback).
+    */
+  def rollingFingerprintComposed(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),
