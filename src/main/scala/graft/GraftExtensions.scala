@@ -25,6 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "graft_rollhash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    // Spark's Bloom-filter sketch aggregate + membership probe exist in
+    // catalyst but are not in the public function registry (they're
+    // planted by the runtime-filter rule); expose them so the explicit
+    // sketch-prefilter pattern (j7) is writable as a query
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     // band-join → bucketed equi-join rewrite (plans.RangeJoinRewrite):
     // the whole-plan rung of the extension ladder — a Rule[LogicalPlan]
     // for semantics the built-in planner can only express as a
