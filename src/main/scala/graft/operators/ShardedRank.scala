@@ -39,8 +39,15 @@ object ShardedRank {
   def withRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
     val shards = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // localCheckpoint pins the sampled range boundaries: `ranged`
+    // feeds both the local row_numbers and the offset table, and the
+    // range partitioner samples from nondeterministically-ordered
+    // shuffle output — two evaluations may place boundaries
+    // differently, which would misalign offsets against local ranks
+    // (observed in the a42/a43 prefix-sum twins at sf0.1).
     val ranged = df.repartitionByRange(shards, order: _*)
       .withColumn("__shard", spark_partition_id())
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("__shard")).orderBy(order: _*)
     val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
     // Offsets: one row per non-empty shard; the unpartitioned window is

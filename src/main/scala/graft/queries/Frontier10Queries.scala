@@ -53,10 +53,17 @@ object Frontier10Queries {
       val g = v.groupBy(col("x"))
         .agg(count(when(col("s1") === 1, 1)).as("d1"),
           count(when(col("s1") === 0, 1)).as("d2"))
-      // sharded prefix sums over the value grain
+      // sharded prefix sums over the value grain. localCheckpoint pins
+      // the range boundaries: `ranged` feeds BOTH the local ranks and
+      // the offset table, and the range partitioner samples its
+      // boundaries from the (nondeterministically ordered) shuffle
+      // output — two separate evaluations can land different
+      // boundaries, silently skewing every cumulative count (seen
+      // live: a43 at sf0.1 diverged by 0.8% before the pin).
       val shards = 32
       val ranged = g.repartitionByRange(shards, col("x"))
         .withColumn("__shard", spark_partition_id())
+        .localCheckpoint(true)
       val wLocal = Window.partitionBy(col("__shard")).orderBy(col("x"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = ranged
@@ -78,6 +85,67 @@ object Frontier10Queries {
         .select(col("n1"), col("n2"), col("max_gap"),
           (col("max_gap").cast("double") / (col("n1") * col("n2")).cast("double"))
             .as("ks_d"))
+    },
+
+    // ---- A43: Wilcoxon/Mann-Whitney rank-sum test --------------------------
+    // The nonparametric two-sample test that needs only RANKS — with
+    // ties handled by midranks, which stay integers when DOUBLED
+    // (2·midrank of a tied block ending at cumulative count c with
+    // size k is 2c − k + 1). The doubled rank sum R1×2 = Σ d1·(2c−k+1)
+    // and U1×2 = R1×2 − n1(n1+1) are exact integers; cumulative counts
+    // reuse a42's value-grain prefix (here via the same shard
+    // discipline at scale — at the registered grain one partial-agg
+    // shuffle + bounded windows). Completes the test suite next to
+    // a42 (KS), a39 (chi²), a41 (ANOVA), a25 (z).
+    QueryDef.sql(
+      "a43_rank_sum_u",
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT x, CAST(count(*) FILTER (WHERE s1 = 1) AS BIGINT) AS d1,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM v GROUP BY x),
+        |c AS (
+        |  SELECT x, d1, k, CAST(sum(k) OVER (ORDER BY x) AS BIGINT) AS c
+        |  FROM g),
+        |n AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS n1,
+        |    CAST(sum(k) - sum(d1) AS BIGINT) AS n2
+        |  FROM g),
+        |r AS (SELECT CAST(sum(d1 * (2 * c - k + 1)) AS BIGINT) AS r1x2 FROM c)
+        |SELECT n1, n2, r1x2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1
+        |FROM n CROSS JOIN r""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select((col("value").cast(DecimalType(18, 4)) * lit(10000)).cast("long").as("x"),
+          when(col("event_type") === "click", 1).otherwise(0).as("s1"))
+      val g = v.groupBy(col("x"))
+        .agg(count(when(col("s1") === 1, 1)).as("d1"), count(lit(1)).as("k"))
+      // same sharded-prefix shape as a42 over the value grain (same
+      // localCheckpoint boundary pin — see a42)
+      val ranged = g.repartitionByRange(32, col("x"))
+        .withColumn("__shard", spark_partition_id())
+        .localCheckpoint(true)
+      val wLocal = Window.partitionBy(col("__shard")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = ranged.withColumn("lc", sum(col("k")).over(wLocal))
+      val wShard = Window.orderBy(col("__shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy(col("__shard")).agg(sum(col("k")).as("ks"))
+        .withColumn("off", coalesce(sum(col("ks")).over(wShard), lit(0L)))
+        .select(col("__shard"), col("off"))
+      val c = local.join(broadcast(offsets), "__shard")
+        .select(col("x"), col("d1"), col("k"), (col("lc") + col("off")).as("c"))
+      val n = g.agg(sum(col("d1")).as("n1"), (sum(col("k")) - sum(col("d1"))).as("n2"))
+      val r = c.agg(sum(col("d1") * (lit(2) * col("c") - col("k") + 1)).as("r1x2"))
+      n.crossJoin(broadcast(r))
+        .select(col("n1"), col("n2"), col("r1x2"),
+          (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1x2"),
+          ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2)).as("u1"))
     },
 
     // ---- U22: group lineage digest -----------------------------------------

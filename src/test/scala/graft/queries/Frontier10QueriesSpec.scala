@@ -31,6 +31,26 @@ class Frontier10QueriesSpec extends SparkSpec {
     assert(maxGap == gap)
   }
 
+  test("a43 U statistic matches the brute-force pair count (U = wins + ties/2)") {
+    import org.apache.spark.sql.types.DecimalType
+    val d = sf("sf0.001")
+    val r = run("a43_rank_sum_u", d).head
+    val v = graft.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("value").cast(DecimalType(18, 4)) * lit(10000)).cast("long").as("x"),
+        (col("event_type") === "click").as("isC"))
+      .collect().map(row => (row.getLong(0), row.getBoolean(1)))
+    val clicks = v.filter(_._2).map(_._1)
+    val views = v.filterNot(_._2).map(_._1)
+    // U1 doubled = 2*#(click > view) + #(click == view)
+    var u2 = 0L
+    for (c <- clicks; w <- views) {
+      if (c > w) u2 += 2 else if (c == w) u2 += 1
+    }
+    assert(r.getLong(3) == u2, s"${r.getLong(3)} vs $u2")
+    assert(r.getLong(0) == clicks.length && r.getLong(1) == views.length)
+  }
+
   test("u22 digest detects a single dropped input row") {
     val rows = run("u22_lineage_digest").collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
