@@ -148,6 +148,41 @@ object Frontier10Queries {
           ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2)).as("u1"))
     },
 
+    // ---- T34: pass@k evaluation aggregation --------------------------------
+    // THE LLM-eval metric: with n samples per task of which c are
+    // correct, pass@k = 1 − C(n−c,k)/C(n,k) — the unbiased estimator
+    // (Codex paper). The binomial ratio telescopes to
+    // Π_{i<k} (n−c−i)/(n−i); cross-multiplied it's ONE division of two
+    // exact integer products (k = 5 here, so 5 factors — bounded).
+    // Tasks = users, samples = their events, "correct" = value > 200.
+    // One partial-agg shuffle on the task key; no per-sample state.
+    QueryDef.sql(
+      "t34_pass_at_k",
+      """WITH t AS (
+        |  SELECT user_id AS task_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE value > 200) AS BIGINT) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT task_id, n, c,
+        |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pass_at_1,
+        |  CASE WHEN n < 5 THEN NULL
+        |       WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE 1 - CAST((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) AS DOUBLE)
+        |              / CAST(n * (n-1) * (n-2) * (n-3) * (n-4) AS DOUBLE)
+        |  END AS pass_at_5
+        |FROM t""".stripMargin) { (s, d) =>
+      val t = Tables.events(s, d)
+        .groupBy(col("user_id").as("task_id"))
+        .agg(count(lit(1)).as("n"), count(when(col("value") > 200, 1)).as("c"))
+      val m = col("n") - col("c")
+      val num = m * (m - 1) * (m - 2) * (m - 3) * (m - 4)
+      val den = col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3) * (col("n") - 4)
+      t.select(col("task_id"), col("n"), col("c"),
+        (col("c").cast("double") / col("n").cast("double")).as("pass_at_1"),
+        when(col("n") < 5, lit(null).cast("double"))
+          .when(m < 5, lit(1.0))
+          .otherwise(lit(1) - num.cast("double") / den.cast("double")).as("pass_at_5"))
+    },
+
     // ---- U22: group lineage digest -----------------------------------------
     // Aggregate provenance: alongside each revenue-per-nation group,
     // an order-independent digest of the EXACT input key set

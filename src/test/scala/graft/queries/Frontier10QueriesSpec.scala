@@ -51,6 +51,21 @@ class Frontier10QueriesSpec extends SparkSpec {
     assert(r.getLong(0) == clicks.length && r.getLong(1) == views.length)
   }
 
+  test("t34 pass@k bounds: pass@1 <= pass@5 <= 1, exact when all or none correct") {
+    val rows = run("t34_pass_at_k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, p1) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(p1 >= 0.0 && p1 <= 1.0)
+      if (!r.isNullAt(4)) {
+        val p5 = r.getDouble(4)
+        assert(p5 >= p1 - 1e-12 && p5 <= 1.0)
+        if (c == 0) assert(p5 == 0.0)
+        if (c == n) assert(p5 == 1.0)
+      } else assert(n < 5)
+    }
+  }
+
   test("u22 digest detects a single dropped input row") {
     val rows = run("u22_lineage_digest").collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
