@@ -60,6 +60,46 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("ev34s Bollinger frame state survives micro-batch boundaries") {
+    // the registered query delivers all data in ONE micro-batch; here
+    // the corpus arrives split in two (then a flush file), so every
+    // user's trailing ring buffer must carry across batches. With
+    // maxFilesPerTrigger=1 each file is its own micro-batch.
+    import graft.streaming.StreamStage
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val ev = Tables.events(spark, sf())
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val median = ev.agg(expr("percentile_approx(event_id, 0.5)")).head.get(0)
+      .toString.toDouble.toLong
+    val first = ev.filter(col("event_id") <= median)
+    val second = ev.filter(col("event_id") > median)
+    val streamed = StreamStage.run(spark, "ev34s_split",
+      "/tmp/graft_stream_stage_split", first, Seq(second),
+      shufflePartitions = Some(4),
+      reuseKey = Some(s"${sf()}:split:$median"),
+      extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+      EventStreams.bollingerFlags(src.as[EventStreams.Event]).toDF()
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-7, Window.currentRow)
+    val x = (col("value").cast(DecimalType(18, 4)) * lit(10000)).cast("long")
+    val f = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), x.as("x"))
+      .withColumn("s", sum(col("x")).over(frame))
+      .withColumn("q", sum(col("x") * col("x")).over(frame))
+      .withColumn("rk", row_number().over(w))
+    val dev = lit(8) * col("x") - col("s")
+    val batch = f.filter(col("rk") >= 8)
+      .select(col("user_id"), col("event_id"),
+        (lit(2) * dev * dev > lit(64) * col("q") - lit(8) * col("s") * col("s"))
+          .as("breakout"))
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("ev34s streaming Bollinger alerts == batch window formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
