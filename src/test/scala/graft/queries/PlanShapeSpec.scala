@@ -174,4 +174,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // report-day calendar broadcasts
     assert(!p.contains("SortMergeJoin"), p)    // the fact side never re-shuffles to join
   }
+
+  test("j9: grid-blocked interval overlap joins on cells — no nested-loop fallback") {
+    val p = plan("j9_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a48: HITS half-rounds broadcast the score table onto the edge list") {
+    val p = plan("a48_hits_authority")
+    // both per-round score joins (a1 onto edges, h1 onto edges) broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 never a global sort
+  }
+
+  test("u24/u26: parent key sets and subject cohorts join by broadcast") {
+    Seq("u24_fk_discovery", "u26_erasure_impact").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("t37: distinctive-terms top-5 per source bounds candidates with WindowGroupLimit") {
+    val p = plan("t37_distinctive_terms")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
