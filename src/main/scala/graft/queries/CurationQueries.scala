@@ -18,7 +18,7 @@ object CurationQueries {
     * and is interpolated into every oracle that scores documents
     * (t12, t19, t20).
     */
-  private val QualityF: String =
+  private[queries] val QualityF: String =
     """f AS (
       |  SELECT doc_id, source, lang,
       |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
@@ -28,7 +28,7 @@ object CurationQueries {
       |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS sw
       |  FROM documents)""".stripMargin
 
-  private val QualityZ: String = "-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl"
+  private[queries] val QualityZ: String = "-1.5 + 0.02 * nt + 0.8 * sw - 0.1 * atl"
 
   val defs: Seq[QueryDef] = Seq(
 
