@@ -63,7 +63,7 @@ object ScaleQueries {
     * stage time and persisted so the measured query filters on a plain
     * literal (static pruning, no subquery).
     */
-  private def partitionedEvents(s: SparkSession, d: String): (String, String) = {
+  private[queries] def partitionedEvents(s: SparkSession, d: String): (String, String) = {
     val dir = s"/tmp/graft_u14_part/${sfTag(d)}"
     Staging.stageOnce(dir, Staging.sourceKey(d, "events")) {
       val ev = Tables.events(s, d)

@@ -199,4 +199,24 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("t37_distinctive_terms")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("u33: fact scan carries a dynamic partition-pruning filter from the dim side") {
+    val p = plan("u33_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected DynamicPruningExpression on the partitioned scan:\n$p")
+  }
+
+  test("t47: TextRank top-10 is TakeOrdered over the checkpointed rank table, no global sort") {
+    // the per-round joins run during PageRank's checkpointed loop (see
+    // PageRankSpec for their shape); the REGISTERED plan must be just
+    // the bounded top-k over the final rank table.
+    val p = plan("t47_textrank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("v27: Davies-Bouldin point-distance pass broadcasts centroid sums, never shuffles vectors twice") {
+    val p = plan("v27_davies_bouldin")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
