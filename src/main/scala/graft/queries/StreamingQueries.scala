@@ -460,6 +460,31 @@ object StreamingQueries {
         import s.implicits._
         EventStreams.bollingerFlags(src.as[EventStreams.Event]).toDF()
       }.filter(col("user_id") >= 0)
+    },
+
+    // Streaming admission quota — transformWithState MAP state (the
+    // typed handle the other processors don't exercise): per user, a
+    // RocksDB-backed hour-bucket → admitted-count map; only the first
+    // 5 events per (user, hour) pass. In-batch rows sort by event time
+    // (RunningCount's discipline), so the admitted set and sequence
+    // numbers are bit-identical to the batch row_number oracle.
+    QueryDef.sql(
+      "ev71s_stream_quota",
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+        |  CAST(seq AS BIGINT) AS seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events)
+        |WHERE seq <= 5""".stripMargin) { (s, d) =>
+      staged(s, d, "ev71s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.quotaThrottle(src.as[EventStreams.Event], k = 5L).toDF()
+      }.filter(col("user_id") >= 0)
     }
   )
 }

@@ -399,6 +399,52 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .drop("session_seq")
   }
+
+  final case class QuotaOut(user_id: Long, event_id: Long,
+                            hour_bucket: Long, seq: Long)
+
+  /** Streaming per-(user, hour) admission quota on the transformWithState
+    * MAP-state surface (the one typed state handle the other processors
+    * don't exercise): state is hour-bucket → admitted-count, so a user's
+    * state stays O(#active hours) and a bucket's counter is one map
+    * entry — the shape a RocksDB-backed rate limiter keeps at scale.
+    * Rows sort by event time within the micro-batch (RunningCount's
+    * discipline) so admission order equals the batch row_number oracle
+    * regardless of arrival interleaving.
+    */
+  class QuotaThrottleProcessor(k: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, QuotaOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, MapState}
+    @transient private var quota: MapState[Long, Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      quota = getHandle.getMapState[Long, Long]("quota",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    private def hourBucket(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      Math.floorDiv(us, 3600000000L)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[QuotaOut] = {
+      val out = Seq.newBuilder[QuotaOut]
+      rows.toArray
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          val h = hourBucket(e.ts)
+          val c = (if (quota.containsKey(h)) quota.getValue(h) else 0L) + 1L
+          quota.updateValue(h, c)
+          if (c <= k) out += QuotaOut(key, e.event_id, h, c)
+        }
+      out.result().iterator
+    }
+  }
+
+  def quotaThrottle(events: Dataset[Event], k: Long): Dataset[QuotaOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new QuotaThrottleProcessor(k), TimeMode.None(), OM.Append())
+  }
 }
 
 /** The monthly-refresh semantic (SURVEY §2.10): incremental ingest of
