@@ -219,4 +219,42 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("v27_davies_bouldin")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("t53: hashing-trick matmul ships no model — no broadcast, no global window") {
+    val p = plan("t53_doc_topic_matmul")
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("WindowGroupLimit"), p) // top-2 bounds map output
+  }
+
+  test("v31: both RRF rank windows share one query_id shuffle") {
+    val p = plan("v31_rrf_fusion")
+    assert("Exchange hashpartitioning\\(query_id".r.findAllIn(p).size == 1,
+      s"expected the cosine and dot rank windows to reuse one exchange:\n$p")
+    assert(p.contains("BroadcastExchange"), p) // query side broadcasts
+  }
+
+  test("m8: phash band join is equi-hash, never cartesian") {
+    val p = plan("m8_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j12: blocked linkage pairs join on the block key, never cartesian") {
+    val p = plan("j12_linkage_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("w16: Hampel med+MAD are frame-local — one user window, no extra shuffle") {
+    val p = plan("w16_hampel_outliers")
+    assert(!p.contains("SinglePartition"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ev69: interval-union sweep never sorts globally") {
+    val p = plan("ev69_interval_union")
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
