@@ -485,6 +485,33 @@ object StreamingQueries {
         import s.implicits._
         EventStreams.quotaThrottle(src.as[EventStreams.Event], k = 5L).toDF()
       }.filter(col("user_id") >= 0)
+    },
+
+    // Streaming backward AS-OF enrichment — dimension updates (signups)
+    // and facts (purchases) on one stream; each fact exits carrying the
+    // dimension value as of its own event time, from a one-row-per-key
+    // SCD1 ValueState. The oracle is DuckDB's native ASOF LEFT JOIN
+    // with the same `<=` and equal-ts last-writer conventions.
+    QueryDef.sql(
+      "ev73s_stream_asof",
+      """WITH s0 AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'signup'),
+        |s AS (
+        |  SELECT * FROM s0 QUALIFY
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.cents AS fact_cents, s.cents AS dim_cents
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin) { (s, d) =>
+      staged(s, d, "ev73s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.streamAsofEnrich(src.as[EventStreams.Event]).toDF()
+      }.filter(col("user_id") >= 0)
     }
   )
 }

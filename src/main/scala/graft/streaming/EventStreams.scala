@@ -445,6 +445,62 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new QuotaThrottleProcessor(k), TimeMode.None(), OM.Append())
   }
+
+  final case class AsofOut(user_id: Long, event_id: Long,
+                           fact_cents: Long, dim_cents: Option[Long])
+  final case class DimState(ts_us: Long, event_id: Long, cents: Long)
+
+  /** Streaming backward AS-OF enrichment — the CDC pattern a streaming
+    * engine needs beside the equi stream-static join (ev16s): dimension
+    * updates (signup events, carrying a value) and facts (purchases)
+    * arrive on ONE stream; each fact leaves enriched with the dimension
+    * value as of its own event time. State per user is the single
+    * latest dimension row (streaming SCD1). Within a micro-batch rows
+    * process in (ts, dim-before-fact, event_id) order, so a dimension
+    * update at a fact's exact timestamp applies to it — the `<=`
+    * convention of a batch ASOF join, which is the oracle.
+    */
+  class StreamAsofProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AsofOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var dim: ValueState[DimState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      dim = getHandle.getValueState[DimState]("dim",
+        org.apache.spark.sql.Encoders.product[DimState], TTLConfig.NONE)
+    private def us(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    private def cents(v: Double): Long = math.floor(v * 100).toLong
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[AsofOut] = {
+      val out = Seq.newBuilder[AsofOut]
+      rows.toArray
+        .sortBy(e => (us(e.ts), if (e.event_type == "signup") 0 else 1, e.event_id))
+        .foreach { e =>
+          if (e.event_type == "signup") {
+            val t = us(e.ts)
+            val cur = if (dim.exists()) dim.get() else null
+            // last-writer-wins at equal ts = max event_id (the oracle
+            // dedupes the dim side the same way)
+            if (cur == null || t > cur.ts_us ||
+                (t == cur.ts_us && e.event_id > cur.event_id))
+              dim.update(DimState(t, e.event_id, cents(e.value)))
+          } else if (e.event_type == "purchase") {
+            val cur = if (dim.exists()) dim.get() else null
+            out += AsofOut(key, e.event_id, cents(e.value),
+              Option(cur).map(_.cents))
+          }
+        }
+      out.result().iterator
+    }
+  }
+
+  def streamAsofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.filter(e => e.event_type == "signup" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamAsofProcessor, TimeMode.None(), OM.Append())
+  }
 }
 
 /** The monthly-refresh semantic (SURVEY §2.10): incremental ingest of
