@@ -74,21 +74,28 @@ object Frontier52Queries {
         .select(col("asset_id"), expr("slice(codes0, 1, 48)").as("codes"))
         .withColumn("total",
           expr("aggregate(codes, cast(0 as bigint), (p, q) -> p + cast(q as bigint))"))
+      // localCheckpoint: Catalyst inlines the codes/total projections
+      // into the fold, re-evaluating the 128-char split PER BIT (the
+      // element_at-in-transform O(n²) trap) — and the self-join would
+      // pay it on both sides. The signature table is tiny; pin it.
       val sigs = codes.select(col("asset_id"),
         expr("""aggregate(transform(sequence(1, 48),
             i -> IF(cast(element_at(codes, i) as bigint) * 48 >= total,
                     shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint))),
           cast(0 as bigint), (p, q) -> p + q)""").as("sig"))
+        .localCheckpoint(true)
       val bands = sigs.select(col("asset_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("k"))
         .withColumn("band", expr("shiftright(sig, cast(k * 12 as int)) & 4095"))
       val a = bands.select(col("k"), col("band"), col("asset_id").as("id_a"), col("sig").as("sig_a"))
       val b = bands.select(col("k"), col("band"), col("asset_id").as("id_b"), col("sig").as("sig_b"))
+      // verify BEFORE dedup: the popcount filter is a per-row function of
+      // the candidate, so filter∘distinct ≡ distinct∘filter — but the
+      // cheap bitwise test shrinks the distinct's shuffle by ~100×
       val cand = a.join(b, Seq("k", "band")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-      cand.withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as int)"))
+        .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as int)"))
         .filter(col("hamming") <= 6)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      cand.select(col("id_a"), col("id_b"), col("hamming")).distinct()
         .orderBy(col("id_a"), col("id_b"))
     },
 

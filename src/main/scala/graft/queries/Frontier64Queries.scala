@@ -151,11 +151,12 @@ object Frontier64Queries {
         col("sig").as("sig_a"))
       val b = bands.select(col("k"), col("band"), col("vec_id").as("id_b"),
         col("sig").as("sig_b"))
+      // verify before dedup (m8's discipline): the popcount filter
+      // commutes with distinct and shrinks its shuffle
       a.join(b, Seq("k", "band")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
         .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as int)"))
         .filter(col("hamming") <= 16)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+        .select(col("id_a"), col("id_b"), col("hamming")).distinct()
         .orderBy(col("id_a"), col("id_b"))
     },
 
