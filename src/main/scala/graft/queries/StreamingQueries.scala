@@ -512,6 +512,50 @@ object StreamingQueries {
         import s.implicits._
         EventStreams.streamAsofEnrich(src.as[EventStreams.Event]).toDF()
       }.filter(col("user_id") >= 0)
+    },
+
+    // Streaming CEP — a greedy non-overlapping view→click→purchase
+    // automaton per user in ONE ValueState (progress + match count).
+    // The oracle replays the same state machine as a per-user ordered
+    // list fold in DuckDB — sequential semantics a window function
+    // can't express, bit-exact against the streaming state store.
+    QueryDef.sql(
+      "ev81s_stream_cep",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |-- recursion = the greedy automaton itself: from the previous
+        |-- match end, take the first view, first click after it, first
+        |-- purchase after that. (A list_reduce formulation mis-executes
+        |-- in DuckDB when the lambda branches on the accumulator across
+        |-- many rows — and segfaults with list-valued struct state — so
+        |-- the oracle recurses instead.)
+        |m(user_id, k, pos, end_event_id) AS (
+        |  SELECT user_id, 0, 0::BIGINT, NULL::BIGINT
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT m.user_id, m.k + 1, nxt.p_rn, nxt.p_id
+        |  FROM m, LATERAL (
+        |    SELECT p.rn AS p_rn, p.event_id AS p_id
+        |    FROM ev p
+        |    WHERE p.user_id = m.user_id AND p.event_type = 'purchase'
+        |      AND p.rn > (SELECT min(c.rn) FROM ev c
+        |                  WHERE c.user_id = m.user_id AND c.event_type = 'click'
+        |                    AND c.rn > (SELECT min(v.rn) FROM ev v
+        |                                WHERE v.user_id = m.user_id
+        |                                  AND v.event_type = 'view'
+        |                                  AND v.rn > m.pos))
+        |    ORDER BY p.rn LIMIT 1) nxt)
+        |SELECT user_id, end_event_id, CAST(k AS BIGINT) AS match_idx
+        |FROM m WHERE k > 0 ORDER BY user_id, match_idx""".stripMargin) { (s, d) =>
+      staged(s, d, "ev81s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.streamCep(src.as[EventStreams.Event]).toDF()
+      }.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("end_event_id"), col("match_idx"))
     }
   )
 }

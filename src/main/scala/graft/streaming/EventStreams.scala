@@ -501,6 +501,51 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new StreamAsofProcessor, TimeMode.None(), OM.Append())
   }
+
+  final case class CepMatch(user_id: Long, end_event_id: Long, match_idx: Long)
+  final case class CepState(progress: Int, matches: Long)
+
+  /** Streaming complex-event processing: detect NON-OVERLAPPING
+    * view → click → purchase subsequences per user (gaps allowed;
+    * after a match the automaton resets — the greedy CEP semantics of
+    * the batch regex operator). State per user is one (progress ∈
+    * {0,1,2}, match count) pair; rows sort by event time within the
+    * micro-batch so the match set equals a sequential replay.
+    */
+  class CepProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, CepMatch] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[CepState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CepState]("cep",
+        org.apache.spark.sql.Encoders.product[CepState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[CepMatch] = {
+      var s = if (st.exists()) st.get() else CepState(0, 0L)
+      val out = Seq.newBuilder[CepMatch]
+      rows.toArray
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          e.event_type match {
+            case "view" if s.progress == 0 => s = s.copy(progress = 1)
+            case "click" if s.progress == 1 => s = s.copy(progress = 2)
+            case "purchase" if s.progress == 2 =>
+              s = CepState(0, s.matches + 1)
+              out += CepMatch(key, e.event_id, s.matches)
+            case _ => ()
+          }
+        }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  def streamCep(events: Dataset[Event]): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepProcessor, TimeMode.None(), OM.Append())
+  }
 }
 
 /** The monthly-refresh semantic (SURVEY §2.10): incremental ingest of
