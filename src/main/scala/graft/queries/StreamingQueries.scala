@@ -556,6 +556,48 @@ object StreamingQueries {
         EventStreams.streamCep(src.as[EventStreams.Event]).toDF()
       }.filter(col("user_id") >= 0)
         .select(col("user_id"), col("end_event_id"), col("match_idx"))
+    },
+
+    // Streaming interval merging — ev69's batch sweep, live: a closed
+    // merged interval emits the moment the next event opens a disjoint
+    // window. Fixed-length windows over monotonically sorted events
+    // make the merge rule a pure gap test, so the batch oracle is the
+    // strict-gap sessionizer minus each user's final (still-open)
+    // interval.
+    QueryDef.sql(
+      "ev86s_stream_interval_merge",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_seg
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_seg) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS seg_id
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, seg_id,
+        |    CAST(min(t) AS BIGINT) AS seg_start_us,
+        |    CAST(max(t) + 1800000000 AS BIGINT) AS seg_end_us
+        |  FROM seg GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(seg_id) AS last_seg FROM m GROUP BY 1)
+        |SELECT m.user_id, m.seg_start_us, m.seg_end_us
+        |FROM m JOIN last ON m.user_id = last.user_id
+        |WHERE m.seg_id < last.last_seg
+        |ORDER BY m.user_id, m.seg_start_us""".stripMargin) { (s, d) =>
+      staged(s, d, "ev86s_out", extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        import s.implicits._
+        EventStreams.streamIntervalMerge(src.as[EventStreams.Event],
+          winUs = 1800000000L).toDF()
+      }.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("seg_start_us"), col("seg_end_us"))
     }
   )
 }

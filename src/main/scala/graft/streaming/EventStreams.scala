@@ -546,6 +546,54 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new CepProcessor, TimeMode.None(), OM.Append())
   }
+
+  final case class MergedInterval(user_id: Long, seg_start_us: Long,
+                                  seg_end_us: Long)
+  final case class OpenInterval(start_us: Long, end_us: Long)
+
+  /** Streaming interval merging: every event opens a fixed 30-minute
+    * window; overlapping/touching windows coalesce in a one-interval
+    * ValueState and a merged interval EMITS when the next event opens
+    * a disjoint one. The final interval of each key stays open at
+    * stream end by definition (no event closes it) — the honest
+    * streaming semantics; the batch oracle mirrors it by dropping each
+    * user's last merged interval.
+    */
+  class IntervalMergeProcessor(winUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, MergedInterval] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var cur: ValueState[OpenInterval] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[OpenInterval]("cur",
+        org.apache.spark.sql.Encoders.product[OpenInterval], TTLConfig.NONE)
+    private def us(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[MergedInterval] = {
+      var s = if (cur.exists()) cur.get() else null
+      val out = Seq.newBuilder[MergedInterval]
+      rows.toArray
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          val t = us(e.ts)
+          if (s == null) s = OpenInterval(t, t + winUs)
+          else if (t <= s.end_us) s = s.copy(end_us = math.max(s.end_us, t + winUs))
+          else {
+            out += MergedInterval(key, s.start_us, s.end_us)
+            s = OpenInterval(t, t + winUs)
+          }
+        }
+      if (s != null) cur.update(s)
+      out.result().iterator
+    }
+  }
+
+  def streamIntervalMerge(events: Dataset[Event], winUs: Long): Dataset[MergedInterval] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new IntervalMergeProcessor(winUs), TimeMode.None(), OM.Append())
+  }
 }
 
 /** The monthly-refresh semantic (SURVEY §2.10): incremental ingest of
