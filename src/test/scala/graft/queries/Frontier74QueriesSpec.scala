@@ -14,9 +14,8 @@ class Frontier74QueriesSpec extends SparkSpec {
     rows.groupBy(_._1).values.foreach { g =>
       val sorted = g.sortBy(_._2)
       sorted.foreach { case (_, s, e) => assert(e - s >= 1800000000L) }
-      sorted.sliding(2).foreach {
-        case Seq(a, b) => assert(b._2 > a._3, "closed intervals are disjoint")
-        case _ =>
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1)._2 > w(0)._3, "closed intervals are disjoint")
       }
     }
     // sequential replay
