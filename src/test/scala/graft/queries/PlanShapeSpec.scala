@@ -257,4 +257,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("ev69_interval_union")
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q34: null-rejecting filters eliminate both LEFT joins (EliminateOuterJoin)") {
+    val opt = SparkEntry.queries("q34_outer_join_elim")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("LeftOuter"),
+      s"expected both left joins rewritten to inner:\n$opt")
+    val p = plan("q34_outer_join_elim")
+    assert(p.contains("BroadcastHashJoin"), p) // inner form unlocks broadcast
+  }
+
+  test("q33: semi-join reduction never shuffles the fact — both joins broadcast") {
+    val p = plan("q33_semi_join_reduction")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("v49: k-center relax pass is one broadcast of a single center row") {
+    val p = plan("v49_kcenter_coreset")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
