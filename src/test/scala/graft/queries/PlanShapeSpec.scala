@@ -273,6 +273,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q35: filter authored above the window lands in the parquet scan") {
+    val p = plan("q35_window_pushdown")
+    assert(p.contains("LessThan(user_id,500)"),
+      s"expected the partition-key predicate pushed through Window into PushedFilters:\n$p")
+  }
+
   test("v49: k-center relax pass is one broadcast of a single center row") {
     val p = plan("v49_kcenter_coreset")
     assert(!p.contains("CartesianProduct"), p)
