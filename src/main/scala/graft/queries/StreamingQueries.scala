@@ -598,6 +598,34 @@ object StreamingQueries {
           winUs = 1800000000L).toDF()
       }.filter(col("user_id") >= 0)
         .select(col("user_id"), col("seg_start_us"), col("seg_end_us"))
+    },
+
+    // Stream-stream LEFT SEMI interval join — the last join mode
+    // (ev4s inner, ev10s left-outer, ev20s full-outer): "did any error
+    // land within the window" as existence, not enumeration. Each
+    // click emits AT MOST ONCE — on its first match the state store
+    // marks it emitted, so a second in-window error produces no
+    // duplicate — and never-matched clicks are silently dropped when
+    // the watermark expires their buffered state (no NULL release).
+    // Matches emit eagerly like the inner mode, so flush rows need not
+    // enter the join; they would only drive state cleanup.
+    QueryDef.sql(
+      "ev100s_semi_join_stream",
+      """WITH err AS (
+        |  SELECT user_id, ts AS lo
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS click_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, c.ts
+        |FROM clk c WHERE EXISTS (
+        |  SELECT 1 FROM err e WHERE e.user_id = c.user_id
+        |    AND c.ts >= e.lo AND c.ts < e.lo + INTERVAL 4 HOUR)""".stripMargin) { (s, d) =>
+      staged(s, d, "ev100s_out")(src =>
+        EventStreams.errorWindowJoin(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "error"),
+          windowMinutes = 240, joinType = "left_semi"))
     }
   )
 }

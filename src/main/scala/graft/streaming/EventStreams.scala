@@ -94,11 +94,18 @@ object EventStreams {
     val e = errors.withWatermark("ts", watermark)
       .select(col("user_id").as("err_user"), col("event_id").as("err_id"),
         col("ts").as("err_ts"))
-    c.join(e,
+    val joined = c.join(e,
         col("user_id") === col("err_user") &&
           col("ts") >= col("err_ts") &&
           col("ts") < col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
         joinType)
+    // left_semi exposes only the left side's columns: each click emits
+    // AT MOST ONCE, the first time any in-window error lands (state
+    // marks it emitted; watermark expiry silently drops never-matched
+    // clicks — no NULL row, unlike the outer modes)
+    if (joinType == "left_semi")
+      joined.select(col("user_id"), col("click_id"), col("ts"))
+    else joined
       // full_outer also emits right-side-unmatched rows, whose LEFT
       // user_id is NULL — surface the key from whichever side is
       // present (inner/left plans are unchanged: their left key is
