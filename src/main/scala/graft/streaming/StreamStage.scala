@@ -27,7 +27,8 @@ object StreamStage {
           bulk: DataFrame, flushes: Seq[DataFrame],
           shufflePartitions: Option[Int] = None,
           reuseKey: Option[String] = None,
-          extraConfs: Map[String, String] = Map.empty)
+          extraConfs: Map[String, String] = Map.empty,
+          outputMode: String = "append")
          (transform: DataFrame => DataFrame): DataFrame = {
     val inDir = ensureStaged(stageDir, bulk, flushes, reuseKey)
     // the checkpoint is per-query and always fresh (a reused one would
@@ -52,7 +53,7 @@ object StreamStage {
     try {
       val q = transform(src).writeStream
         .format("memory").queryName(name)
-        .outputMode("append")
+        .outputMode(outputMode)
         .option("checkpointLocation", ckptDir.toString)
         .trigger(Trigger.AvailableNow())
         .start()
