@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, RollingHash, SortedOverlap}
+import graft.functions.{DotProduct, IntSqrt, RollingHash, SortedOverlap}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session so they are callable from SQL and
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getCanonicalName, "graft_overlap"),
       (children: Seq[Expression]) => SortedOverlap(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_isqrt"),
+      new ExpressionInfo(classOf[IntSqrt].getCanonicalName, "graft_isqrt"),
+      (children: Seq[Expression]) => IntSqrt(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "graft_rollhash"),
