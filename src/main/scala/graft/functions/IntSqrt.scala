@@ -60,12 +60,15 @@ case class IntSqrt(child: Expression) extends UnaryExpression {
 object IntSqrt {
   /** Exact floor(sqrt(v)) for v >= 0; null for negative input. */
   def sqrtDecimal(d: Decimal): java.lang.Long = {
-    val bi = d.toJavaBigDecimal.toBigInteger
-    if (bi.signum() < 0) null
+    val bd = d.toJavaBigDecimal
+    // sign of the DECIMAL, not of its truncation: -0.5 truncates to
+    // BigInteger zero (signum 0) and must still be rejected as negative
+    if (bd.signum() < 0) null
     else {
-      val r = bi.sqrt()
-      // sqrt of DECIMAL(38,0) can exceed Long for v > ~8.5e37
-      if (r.bitLength() > 62) null else java.lang.Long.valueOf(r.longValueExact())
+      val r = bd.toBigInteger.sqrt()
+      // sqrt of DECIMAL(38,0) can exceed Long for v > ~8.5e37; a root
+      // with bitLength 63 still fits in a positive Long
+      if (r.bitLength() > 63) null else java.lang.Long.valueOf(r.longValueExact())
     }
   }
 

@@ -120,6 +120,9 @@ object Frontier125Queries {
     // just two partitioned windows. The window BOUNDS come back via a
     // deterministic argmax/argmin walk (earliest best end, earliest
     // matching prefix, next trading day), all small per-nation joins.
+    // Oracle window sums are CAST to BIGINT: DuckDB's sum(BIGINT) OVER
+    // returns HUGEINT, which lands in the driver's compare as float64
+    // and hash-diverges from Spark's int64 (the r4 red row).
     QueryDef.sql(
       "w40_kadane_window",
       """WITH daily AS (
@@ -131,13 +134,14 @@ object Frontier125Queries {
         |  GROUP BY 1, 2),
         |pre0 AS (
         |  SELECT nk, day, net,
-        |    sum(net) OVER (PARTITION BY nk ORDER BY day) AS prefix
+        |    CAST(sum(net) OVER (PARTITION BY nk ORDER BY day) AS BIGINT)
+        |      AS prefix
         |  FROM daily),
         |pre AS (
         |  SELECT nk, day, net, prefix,
-        |    least(CAST(0 AS BIGINT), coalesce(min(prefix) OVER (
+        |    least(CAST(0 AS BIGINT), coalesce(CAST(min(prefix) OVER (
         |      PARTITION BY nk ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
         |      CAST(0 AS BIGINT))) AS mneeded
         |  FROM pre0),
         |best AS (

@@ -104,7 +104,10 @@ object Frontier130Queries {
     // windows), MUTUAL edges only, then the DupComponents broadcast
     // label propagator. The oracle recomputes the same components with
     // a recursive CTE — different algorithm, same labels. Output: the
-    // component-size histogram plus the isolated-node count.
+    // component-size histogram plus the isolated-node count. The CTE
+    // is LINEAR (one self-reference): the mutual edge list is
+    // symmetrized into `edges` first, because DuckDB rejects a
+    // recursive member that references the CTE twice (the r4 err row).
     QueryDef.sql(
       "v59_knn_components",
       """WITH RECURSIVE q AS (
@@ -127,15 +130,14 @@ object Frontier130Queries {
         |  SELECT least(k1.ia, k1.ib) AS a, greatest(k1.ia, k1.ib) AS b
         |  FROM knn k1 JOIN knn k2 ON k2.ia = k1.ib AND k2.ib = k1.ia
         |  WHERE k1.ia < k1.ib),
-        |nodes AS (
-        |  SELECT DISTINCT a AS id FROM mutual
-        |  UNION SELECT DISTINCT b FROM mutual),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM mutual
+        |  UNION SELECT b AS src, a AS dst FROM mutual),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
         |reach AS (
         |  SELECT id, id AS lab FROM nodes
         |  UNION
-        |  SELECT m.b AS id, r.lab FROM reach r JOIN mutual m ON m.a = r.id
-        |  UNION
-        |  SELECT m.a AS id, r.lab FROM reach r JOIN mutual m ON m.b = r.id),
+        |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
         |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY 1),
         |sizes AS (
         |  SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1),

@@ -19,13 +19,34 @@ class IntSqrtSpec extends SparkSpec {
       val v = BigInt(r.getString(0))
       if (v.bitLength > 125) () // beyond decimal(38) cast: skip
       else if (r.isNullAt(1)) {
-        // null only when the root itself exceeds the 62-bit guard
-        assert(v.bigInteger.sqrt().bitLength > 62, s"unexpected null for $v")
+        // null only when the root itself no longer fits a positive Long
+        assert(v.bigInteger.sqrt().bitLength > 63, s"unexpected null for $v")
       } else {
         val got = BigInt(r.getLong(1))
         assert(got * got <= v && (got + 1) * (got + 1) > v, s"isqrt($v) = $got")
       }
     }
+  }
+
+  test("graft_isqrt boundary: roots near 2^63 and negative fractions") {
+    val s = spark
+    import s.implicits._
+    // (2^62)^2 and (2^63-1)^2 have roots that FIT a positive Long and
+    // must not be nulled; 2^126's root is exactly 2^63 → overflow → null
+    val rows = Seq(
+      ("21267647932558653966460912964485513216", Some(1L << 62)), // (2^62)^2
+      ("85070591730234615847396907784232501249", Some(Long.MaxValue)), // (2^63-1)^2
+      ("85070591730234615865843651857942052864", None)) // 2^126 → root 2^63
+      .map(_._1).toDF("vs")
+      .select(expr("graft_isqrt(cast(vs as decimal(38,0)))").as("r"), col("vs"))
+      .collect()
+    assert(rows.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      == Seq(Some(1L << 62), Some(Long.MaxValue), None))
+    // a negative fraction truncates to BigInteger zero but is still a
+    // negative input → null, not 0
+    val neg = spark.sql(
+      "SELECT graft_isqrt(cast(-0.5 as decimal(5,2))) AS r").collect()(0)
+    assert(neg.isNullAt(0))
   }
 
   test("graft_isqrt on bigint input and negative → null") {
