@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftinterop.ColumnInterop
 
 /** Global `row_number()` over a total order WITHOUT an unpartitioned
   * window — the distributed ranking shape every vocabulary-scale
@@ -13,11 +14,19 @@ import org.apache.spark.sql.functions._
   * RANGE sharding because the sort key here isn't a hash we can
   * prefix):
   *
-  *  1. `repartitionByRange(shards, key...)` — every key in shard i
-  *     sorts before every key in shard i+1, so shard-major order IS
-  *     the global order. The exchange is one extra shuffle of the
-  *     (small, pre-aggregated) ranked set, not of the corpus.
-  *  2. A PARTITIONED window (`partitionBy(shard)`) computes local
+  *  1. Shard boundaries are computed EXPLICITLY from a deterministic
+  *     hash-sample of the order keys (collected to the driver, sorted,
+  *     evenly spaced) — not from `repartitionByRange`'s random-seeded
+  *     sampler. The shard id is then a pure EXPRESSION of the row's
+  *     key values, so every re-evaluation of the plan assigns the same
+  *     shard to the same row and the offset table can never misalign
+  *     with the local ranks (the a43 nondeterminism class). This
+  *     replaces the r4 fix — an eager full-width `localCheckpoint` of
+  *     the ranged stage — with a checkpoint-free plan: the only extra
+  *     work is one count + one column-pruned sample scan (both served
+  *     from the persisted input), instead of writing every column of
+  *     the ranked set to block storage.
+  *  2. A PARTITIONED window (`partitionBy(__shard)`) computes local
   *     row numbers — parallel across shards.
   *  3. Per-shard counts prefix-sum into offsets; the only
   *     unpartitioned window runs over the SHARD-COUNT table (at most
@@ -26,9 +35,9 @@ import org.apache.spark.sql.functions._
   *
   * Requires the `order` key to be a total order (no ties across rows)
   * — true for (freq DESC, term) after a term-level aggregation —
-  * otherwise rank assignment at shard boundaries would be ambiguous.
-  * Range bounds come from Spark's sampling; they affect only WHERE
-  * shard boundaries fall, never the rank values themselves.
+  * otherwise rank assignment inside a shard would be ambiguous.
+  * Boundary quality affects only shard BALANCE, never rank values: an
+  * empty sample degrades to one shard, still correct.
   */
 object ShardedRank {
 
@@ -36,29 +45,125 @@ object ShardedRank {
     * `order`) to `df`. `shards` defaults to the session shuffle
     * parallelism.
     */
-  def withRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val shards = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // localCheckpoint pins the sampled range boundaries: `ranged`
-    // feeds both the local row_numbers and the offset table, and the
-    // range partitioner samples from nondeterministically-ordered
-    // shuffle output — two evaluations may place boundaries
-    // differently, which would misalign offsets against local ranks
-    // (observed in the a42/a43 prefix-sum twins at sf0.1).
-    val ranged = df.repartitionByRange(shards, order: _*)
-      .withColumn("__shard", spark_partition_id())
-      .localCheckpoint(true)
+  def withRank(df: DataFrame, rankCol: String, order: Column*): DataFrame =
+    twoPhase(df, order, count(lit(1)), row_number().over(_).cast("long"), rankCol)
+
+  /** Adds `outCol` = the global INCLUSIVE prefix sum of `value` in
+    * `order` — the other consumer of the same sharded discipline
+    * (c41's systematic resampler, a186's weight line): per-shard
+    * running sums plus broadcast shard offsets, no unpartitioned
+    * window over the data.
+    */
+  def withPrefixSum(df: DataFrame, outCol: String, value: Column,
+                    order: Column*): DataFrame =
+    twoPhase(df, order, sum(value), w => sum(value).over(w), outCol)
+
+  /** Shared two-phase shape: deterministic shard assignment, a local
+    * windowed accumulator per shard, per-shard totals prefix-summed
+    * into broadcast offsets. `perShard` aggregates one shard's total
+    * contribution; `localOver` accumulates within a shard.
+    */
+  private def twoPhase(df: DataFrame, order: Seq[Column],
+                       perShard: Column,
+                       localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
+                       outCol: String): DataFrame = {
+    val sharded = withShard(df, order)
     val wLocal = Window.partitionBy(col("__shard")).orderBy(order: _*)
-    val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    val local = sharded.withColumn("__lacc", localOver(wLocal))
     // Offsets: one row per non-empty shard; the unpartitioned window is
     // bounded by `shards`, never by the data.
     val wShard = Window.orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__shard")).agg(count(lit(1)).as("__cnt"))
+    val offsets = sharded.groupBy(col("__shard")).agg(perShard.as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wShard), lit(0L)))
       .select(col("__shard"), col("__off"))
     local.join(broadcast(offsets), "__shard")
-      .withColumn(rankCol, col("__off") + col("__lrn"))
-      .drop("__shard", "__lrn", "__off")
+      .withColumn(outCol, col("__off") + col("__lacc"))
+      .drop("__shard", "__lacc", "__off")
+  }
+
+  /** Deterministic shard assignment: explicit boundaries from a
+    * hash-sample of the order keys, applied as a pure expression of
+    * the row's key values.
+    */
+  private def withShard(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val shards = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keys = order.map(parse)
+    val keyCols = keys.map(_._1)
+    // persist is a PERF hint only (one computation of an expensive
+    // upstream feeds count + sample + both downstream branches);
+    // correctness survives eviction/recompute because the shard id is
+    // a deterministic function of the row's key values
+    val input = df.persist()
+    val n = input.count()
+    val m = math.max(1L, n / (shards.toLong * 64)) // ~64 samples per shard
+    val sampled = input
+      .filter(pmod(xxhash64(keyCols: _*), lit(m)) === 0)
+      .select(keyCols: _*)
+      .collect()
+      .map(r => keys.indices.map(r.get))
+    val ord = new Ordering[Seq[Any]] {
+      def compare(a: Seq[Any], b: Seq[Any]): Int =
+        keys.indices.iterator
+          .map(i => cmpVal(a(i), b(i), keys(i)._2, keys(i)._3))
+          .find(_ != 0).getOrElse(0)
+    }
+    val sorted = sampled.sorted(ord)
+    val boundaries: Seq[Seq[Any]] =
+      if (sorted.isEmpty) Seq.empty
+      else (1 until shards)
+        .map(i => sorted(((i.toLong * sorted.length) / shards).toInt))
+        .distinct
+    val shardExpr =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b => when(geBoundary(keys, b), 1).otherwise(0))
+        .reduce(_ + _)
+    input.withColumn("__shard", shardExpr)
+  }
+
+  /** (key expression, ascending, nulls-first) from a possibly
+    * `.asc`/`.desc`-wrapped Column — read off the ColumnNode via the
+    * graftinterop bridge (the converters are private[sql] in Spark 4).
+    */
+  private def parse(c: Column): (Column, Boolean, Boolean) =
+    ColumnInterop.parseOrder(c)
+
+  /** Driver-side comparator matching Spark's sort semantics for one
+    * level: direction + explicit null ordering.
+    */
+  private def cmpVal(a: Any, b: Any, asc: Boolean, nullsFirst: Boolean): Int =
+    (a == null, b == null) match {
+      case (true, true)  => 0
+      case (true, false) => if (nullsFirst) -1 else 1
+      case (false, true) => if (nullsFirst) 1 else -1
+      case _ =>
+        val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if (asc) c else -c
+    }
+
+  /** Row key tuple sorts at-or-after the boundary tuple (lexicographic
+    * over the order levels, honoring direction and null ordering).
+    */
+  private def geBoundary(keys: Seq[(Column, Boolean, Boolean)],
+                         b: Seq[Any]): Column = {
+    def lvlGt(k: Column, v: Any, asc: Boolean, nullsFirst: Boolean): Column =
+      if (v == null) {
+        if (nullsFirst) k.isNotNull // null smallest: any value sorts after it
+        else lit(false)             // null largest: nothing sorts after it
+      } else {
+        val cmp = if (asc) k > lit(v) else k < lit(v)
+        if (nullsFirst) cmp         // null k → null → false under when()
+        else k.isNull || cmp        // null k sorts after every value
+      }
+    def lvlEq(k: Column, v: Any): Column =
+      if (v == null) k.isNull else k === lit(v)
+    def ge(i: Int): Column =
+      if (i == keys.length) lit(true)
+      else {
+        val (k, asc, nf) = keys(i)
+        lvlGt(k, b(i), asc, nf) || (lvlEq(k, b(i)) && ge(i + 1))
+      }
+    ge(0)
   }
 }

@@ -54,9 +54,9 @@ object Frontier59Queries {
     // systematic resampler particle filters use, which has lower
     // variance than iid draws and is bit-reproducible on any cluster.
     // The cumulative weight is a TWO-PHASE sharded prefix sum
-    // (ShardedRank's discipline: range-shard by the order key, local
-    // window + broadcast shard offsets, localCheckpoint to pin the
-    // sampled boundaries) — no unpartitioned window touches the data.
+    // (ShardedRank.withPrefixSum: deterministic shard boundaries from
+    // a key sample, local window + broadcast shard offsets) — no
+    // unpartitioned window touches the data, no checkpoint needed.
     QueryDef.sql(
       "c41_systematic_resample",
       """WITH h AS (
@@ -72,25 +72,14 @@ object Frontier59Queries {
         |SELECT doc_id, w, cum, CAST(cum // stride AS BIGINT) AS pick_idx
         |FROM s WHERE cum // stride > (cum - w) // stride
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val spark = s
-      val shards = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val h = Tables.documents(s, d).select(col("doc_id"),
         col("n_chars").cast("long").as("w"),
         md5(col("doc_id").cast("string")).as("ord"))
-      val ranged = h.repartitionByRange(shards, col("ord"))
-        .withColumn("__shard", spark_partition_id())
-        .localCheckpoint(true) // pin sampled range boundaries (ShardedRank)
-      val local = ranged.withColumn("lcum",
-        sum(col("w")).over(Window.partitionBy(col("__shard")).orderBy(col("ord"))))
-      val offsets = ranged.groupBy(col("__shard")).agg(sum(col("w")).as("__cnt"))
-        .withColumn("__off", coalesce(sum(col("__cnt")).over(
-          Window.orderBy(col("__shard"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__shard"), col("__off"))
-      val wtot = ranged.agg(sum(col("w")).as("wtot"))
-      local.join(broadcast(offsets), "__shard")
-        .withColumn("cum", (col("__off") + col("lcum")).cast("long"))
-        .crossJoin(broadcast(wtot))
+      val cum = graft.operators.ShardedRank
+        .withPrefixSum(h, "__cum", col("w"), col("ord"))
+        .withColumn("cum", col("__cum").cast("long")).drop("__cum")
+      val wtot = h.agg(sum(col("w")).as("wtot"))
+      cum.crossJoin(broadcast(wtot))
         .withColumn("stride", expr("wtot div 100"))
         .filter(expr("cum div stride > (cum - w) div stride"))
         .select(col("doc_id"), col("w"), col("cum"),

@@ -175,9 +175,9 @@ object Frontier81Queries {
     // value, and items larger than the sampling interval are certain
     // (and can be hit multiple times — the hits column). The global
     // cumulative-cents prefix sum uses the two-phase shard-offset
-    // shape (range-repartition by key, per-shard window, broadcast
-    // offsets) — the only unpartitioned window runs over the 32-row
-    // shard table, never the data.
+    // shape (deterministic key-sample boundaries, per-shard window,
+    // broadcast offsets) — the only unpartitioned window runs over the
+    // 32-row shard table, never the data.
     QueryDef.sql(
       "u64_monetary_unit_sample",
       """WITH o AS (
@@ -207,27 +207,14 @@ object Frontier81Queries {
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long")
           .as("cents"))
-      val shards = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      // two-phase global prefix sum: per-shard cumsum + broadcast offsets
-      val ranged = o.repartitionByRange(shards, col("o_orderkey"))
-        .withColumn("__shard", spark_partition_id())
-        .localCheckpoint(true) // pins sampled range boundaries (ShardedRank note)
-      val local = ranged.withColumn("__lcum",
-        sum(col("cents")).over(Window.partitionBy(col("__shard"))
-          .orderBy(col("o_orderkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val offsets = ranged.groupBy(col("__shard"))
-        .agg(sum(col("cents")).as("__scnt"))
-        .withColumn("__off", coalesce(sum(col("__scnt")).over(Window
-          .orderBy(col("__shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__shard"), col("__off"))
+      // two-phase global prefix sum (ShardedRank.withPrefixSum:
+      // deterministic shard boundaries, per-shard cumsum + broadcast
+      // offsets — no checkpoint, no unpartitioned window over the data)
       val tot = o.agg(sum(col("cents")).as("total"))
         .select(expr("total div 100").as("itv"))
         .select(col("itv"), expr("itv div 2").as("st"))
-      local.join(broadcast(offsets), "__shard")
-        .select(col("o_orderkey"), col("cents"),
-          (col("__off") + col("__lcum")).as("c"))
+      graft.operators.ShardedRank
+        .withPrefixSum(o, "c", col("cents"), col("o_orderkey"))
         .crossJoin(broadcast(tot))
         .select(col("o_orderkey"), col("cents"),
           expr("CASE WHEN c > st THEN (c - st + itv - 1) div itv ELSE 0 END")

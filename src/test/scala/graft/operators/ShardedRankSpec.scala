@@ -39,6 +39,39 @@ class ShardedRankSpec extends SparkSpec {
     assert(ShardedRank.withRank(empty, "r", col("freq").desc, col("term")).count() == 0)
   }
 
+  test("withRank honors null ordering for asc (nulls first) and desc (nulls last)") {
+    val df = Seq(Some(5L), None, Some(1L), Some(9L), None, Some(3L))
+      .zipWithIndex.map { case (v, i) => (v, s"id_$i") }.toDF("v", "id")
+    // asc: nulls first (Spark default) — ids 1,4 (null) rank 1..2 by id
+    val asc = ShardedRank.withRank(df, "r", col("v").asc, col("id"))
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("r")).toMap
+    assert(asc == Map("id_1" -> 1L, "id_4" -> 2L, "id_2" -> 3L,
+      "id_5" -> 4L, "id_0" -> 5L, "id_3" -> 6L), s"asc: $asc")
+    // desc: nulls last
+    val desc = ShardedRank.withRank(df, "r", col("v").desc, col("id"))
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("r")).toMap
+    assert(desc == Map("id_3" -> 1L, "id_0" -> 2L, "id_5" -> 3L,
+      "id_2" -> 4L, "id_1" -> 5L, "id_4" -> 6L), s"desc: $desc")
+  }
+
+  test("withRank is bit-stable across repeated evaluations (no checkpoint needed)") {
+    // The a43 nondeterminism class: the rank plan is evaluated multiple
+    // times (here: 3 fresh evaluations, each recomputing the shard
+    // assignment) and must produce identical ranks every time, because
+    // the shard id is a pure expression of the key values — unlike
+    // repartitionByRange, whose sampled boundaries move between runs.
+    val tf = (1 to 20000)
+      .map(i => (f"t_${(i * 2654435761L) % 100000}%06d", (i % 97).toLong, i))
+      .toDF("term", "freq", "uniq")
+    val runs = (1 to 3).map { _ =>
+      ShardedRank.withRank(tf, "r", col("freq").desc, col("term"), col("uniq"))
+        .select(col("uniq"), col("r")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    assert(runs(0) == runs(1) && runs(1) == runs(2))
+    assert(runs(0).values.toSeq.sorted == (1L to 20000L).toSeq)
+  }
+
   test("t15/t18/t21 plan with no unpartitioned window over the vocabulary") {
     Seq("t15_vocab_build", "t18_tokenize_ids", "t21_zipf_fit").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
