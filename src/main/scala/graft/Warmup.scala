@@ -30,8 +30,35 @@ object Warmup {
     // u13/u14's measured numbers are the read path only
     try queries.ScaleQueries.warmStaging(spark, sfDir)
     catch { case _: Throwable => () }
+    // every other marker-keyed stageOnce artifact: CONSTRUCTING these
+    // queries runs their staging block (the write happens at plan-build
+    // time, before any action), so building and discarding the plan
+    // pre-stages the artifact untimed. Only batch queries appear here —
+    // a staged STREAMING query executes its whole job at construction,
+    // which is the measured thing, so those stay out.
+    stagedBatchQueries.foreach { name =>
+      try SparkEntry.queries.get(name).foreach(fn => fn(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
+    // the near-dup pair table (shared by d6/d7/c3/er1) stages through a
+    // helper, not at a single query's construction — warm it directly
+    try queries.TextQueries.stagedNearDupPairs(spark, sfDir)
+    catch { case _: Throwable => () }
     if (streaming) streamingEngine(spark)
   }
+
+  /** Batch queries whose construction runs a Staging.stageOnce write
+    * (grep: stageOnce call sites minus ScaleQueries, which warms via
+    * warmStaging, minus streaming — a staged STREAMING query executes
+    * its whole job at construction, so those stay out).
+    */
+  private val stagedBatchQueries = Seq(
+    "j2_explode_child_table", // /tmp/graft_j2_nested
+    "u7_merge_schema",        // /tmp/graft_u7_snapshots
+    "u10_snapshot_diff",      // /tmp/graft_u10_snapshots
+    "u12_incremental_agg",    // /tmp/graft_u12_agg
+    "u17_ivm_join",           // /tmp/graft_u17_ivm
+    "u49_ivm_distinct")       // /tmp/graft_u49_ivm
 
   /** One-row stateful streaming query over a FILE source — the exact
     * machinery the measured ev*s queries use (FileStreamSource log,

@@ -28,8 +28,8 @@ object TextQueries {
     * 100 TB you never re-verify the pair space per consumer. Marker-
     * keyed to the source file version like j2's nested staging.
     */
-  private[queries] def stagedNearDupPairs(s: org.apache.spark.sql.SparkSession,
-                                          d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def stagedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                                        d: String): org.apache.spark.sql.DataFrame = {
     val dir = s"/tmp/graft_neardup_pairs/${new java.io.File(d).getName}"
     Staging.stageOnce(dir, Staging.sourceKey(d, "documents", ":t0.7")) {
       graft.operators.JaccardJoin.pairs(Tables.documents(s, d),
