@@ -267,6 +267,77 @@ object StreamingQueries {
         .filter(col("user_id") >= 0)
     },
 
+    // COMPOSED pipeline: stream-static enrich (stateless broadcast
+    // join) → session window (stateful, watermarked) → foreachBatch
+    // upsert keeping each user's LATEST session — the enrich→
+    // sessionize→upsert chain a real deployment runs as ONE streaming
+    // query, not three. The watermark node sits BEFORE the join so the
+    // flush rows (user_id < 0, never in the dimension) still advance
+    // it even though the join drops them; the keep-latest merge is
+    // associative across micro-batches (sessions are emitted exactly
+    // once, session_start is unique per user), so the final table is
+    // independent of how the watermark slices emissions into batches —
+    // which is what lets the batch oracle check it bit-for-bit.
+    QueryDef.sql(
+      "ev112s_enrich_session_upsert",
+      """WITH e AS (
+        |  SELECT ev.user_id, ev.event_id, ev.ts, ev.value,
+        |    c.c_mktsegment AS segment
+        |  FROM events ev JOIN customer c ON ev.user_id = c.c_custkey),
+        |lagged AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts
+        |  FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, min(segment) AS segment,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM numbered GROUP BY user_id, session_seq)
+        |SELECT user_id, segment, n_events, session_start, session_end, total_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY session_start DESC) AS rn FROM sessions)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val srcFile = new java.io.File(d, "events.parquet")
+      val key = s"$d:${srcFile.lastModified}:${srcFile.length}"
+      val bulk = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .unionByName(flushRow(s, -1L, "2100-01-01 00:00:00"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val keepLatest = (current: Option[DataFrame], batch: DataFrame) => {
+        val all = current.map(_.unionByName(batch)).getOrElse(batch)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("session_start").desc)
+        all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      StreamStage.runTransformUpsert(s, "ev112s_tbl",
+          s"$stageRoot/${new java.io.File(d).getName}", bulk,
+          Seq(flushRow(s, -2L, "2100-02-01 00:00:00")),
+          shufflePartitions = Some(8), reuseKey = Some(key)) { stream =>
+        stream.withWatermark("ts", "1 hour")
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"), col("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("total_value"))
+          .select(col("user_id"), col("segment"), col("n_events"),
+            col("w.start").as("session_start"), col("w.end").as("session_end"),
+            col("total_value"))
+      }(keepLatest)
+        .select(col("user_id"), col("segment"), col("n_events"),
+          col("session_start"), col("session_end"), col("total_value"))
+    },
+
     // transformWithState (arbitrary-state v2) — per-user running event
     // counter with ONE long of typed ValueState per key, RocksDB-backed
     // (the API requires the RocksDB provider; set per-run and

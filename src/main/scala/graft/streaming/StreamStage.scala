@@ -113,6 +113,58 @@ object StreamStage {
     spark.read.parquet(tblRoot.resolve(s"v${version.get()}").toString)
   }
 
+  /** Drives a STATEFUL transform into a `foreachBatch` MERGE sink —
+    * the composed pipeline shape a real deployment runs (enrich →
+    * session window → upsert), where the merge consumes the
+    * transform's append-mode emissions rather than raw source rows
+    * (which is what [[runUpsert]] does). Same staged-source mechanics
+    * as [[run]] (bulk + flush files, one per micro-batch); the merge
+    * function must be associative across batch boundaries so the
+    * final table is independent of how the watermark slices the
+    * emissions into micro-batches.
+    */
+  def runTransformUpsert(spark: SparkSession, name: String, stageDir: String,
+                         bulk: DataFrame, flushes: Seq[DataFrame],
+                         shufflePartitions: Option[Int] = None,
+                         reuseKey: Option[String] = None)
+                        (transform: DataFrame => DataFrame)
+                        (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val inDir = ensureStaged(stageDir, bulk, flushes, reuseKey)
+    val ckptDir = Paths.get(stageDir, s"ckpt_$name")
+    deleteRecursively(ckptDir)
+    val tblRoot = Paths.get(stageDir, s"tbl_$name")
+    deleteRecursively(tblRoot)
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val applyBatch = (batch: DataFrame, _: Long) => {
+      val cur = version.get()
+      val current =
+        if (cur == 0) None
+        else Some(spark.read.parquet(tblRoot.resolve(s"v$cur").toString))
+      merge(current, batch).write.mode("overwrite")
+        .parquet(tblRoot.resolve(s"v${cur + 1}").toString)
+      version.incrementAndGet()
+      ()
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = transform(src).writeStream
+        .foreachBatch(applyBatch)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    spark.read.parquet(tblRoot.resolve(s"v${version.get()}").toString)
+  }
+
   /** Stage bulk + follow-up files as an admission-controlled file
     * source (one file per micro-batch), reused across queries via the
     * caller's source-version key.
