@@ -33,17 +33,12 @@ object EngineBench {
     // --- corpus generation (not timed): deterministic, bundled into
     // few large multi-doc files? No — the reference corpus is one XML
     // per return; we replicate that (small-files posture included).
-    Files.createDirectories(Paths.get(corpusDir))
+    // GRAFT_SALT_EVERY=k malforms every k-th document (truncation) to
+    // exercise the quarantine path at volume — the build must complete
+    // and the FAIL_LIST row count must equal the salt count.
+    val saltEvery = sys.env.getOrElse("GRAFT_SALT_EVERY", "0").toInt
     val t0gen = System.nanoTime()
-    (0 until n).foreach { i =>
-      val ein = f"${100000000L + i}%09d"
-      val era = i % 2 == 0          // post-2013 vs pre-2013
-      val ez = i % 3 == 0           // form mix
-      val gross = 1000L + (i * 37L) % 900000L
-      val members = 1 + i % 4
-      val xml = synthDoc(ein, era, ez, gross, members, i)
-      Files.writeString(Paths.get(s"$corpusDir/${ein}_public.xml"), xml)
-    }
+    val salted = genCorpus(corpusDir, n, saltEvery)
     val genSec = (System.nanoTime() - t0gen) / 1e9
 
     // --- the timed build: parse once -> core + DTK child table -> parquet
@@ -59,7 +54,39 @@ object EngineBench {
     println(f"[engine-bench] docs=$n gen=${genSec}%.1fs build=${buildSec}%.1fs " +
       f"throughput=${docsPerSec}%.0f docs/s core_rows=$nCore child_rows=$nChild " +
       f"(reference: 2-5 docs/s single-process)")
+    if (saltEvery > 0) {
+      val quarantined = spark.read.parquet(s"$outDir/failed").count()
+      println(s"[engine-bench] salted=$salted quarantined=$quarantined " +
+        s"match=${salted.toLong == quarantined}")
+    }
     spark.stop()
+  }
+
+  /** Writes the deterministic synthetic corpus (era/form mix as in the
+    * timed bench). When `saltEvery` > 0, every saltEvery-th document is
+    * malformed — truncated mid-element, so the row tag is found but the
+    * parse fails and PERMISSIVE mode quarantines the document (the
+    * reference's FAIL_LIST semantics,
+    * `build_efile_database_functions.R:5096-5101`; a missing row tag
+    * would instead drop the file silently). Returns the malformed count.
+    */
+  def genCorpus(corpusDir: String, n: Int, saltEvery: Int = 0): Int = {
+    Files.createDirectories(Paths.get(corpusDir))
+    var salted = 0
+    (0 until n).foreach { i =>
+      val ein = f"${100000000L + i}%09d"
+      val era = i % 2 == 0          // post-2013 vs pre-2013
+      val ez = i % 3 == 0           // form mix
+      val gross = 1000L + (i * 37L) % 900000L
+      val members = 1 + i % 4
+      val whole = synthDoc(ein, era, ez, gross, members, i)
+      val malform = saltEvery > 0 && i % saltEvery == saltEvery - 1
+      val xml =
+        if (malform) { salted += 1; whole.substring(0, whole.length * 3 / 5) }
+        else whole
+      Files.writeString(Paths.get(s"$corpusDir/${ein}_public.xml"), xml)
+    }
+    salted
   }
 
   def demoConcordance: Seq[ConcordanceEntry] = {
