@@ -240,8 +240,11 @@ object Frontier110Queries {
         .filter(col("e1.dst") =!= col("e2.dst"))
         .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
         .agg(count(lit(1)).cast("long").as("com"))
+      // broadcast the 25-row side explicitly: deg's lineage roots in a
+      // localCheckpoint (no size stats), so the planner would otherwise
+      // fall back to CartesianProduct instead of a bounded BNLJ
       val s1 = deg.select(col("dst").as("a"), col("ind").as("ia"))
-        .crossJoin(deg.select(col("dst").as("b"), col("ind").as("ib")))
+        .crossJoin(broadcast(deg.select(col("dst").as("b"), col("ind").as("ib"))))
         .join(common, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           when(col("a") === col("b"), 1000000L)
@@ -249,7 +252,7 @@ object Frontier110Queries {
             .as("s1"))
         .localCheckpoint(true) // 625-row similarity table joined twice in round 2
       val s2 = e.select(col("src").as("ia_src"), col("dst").as("a2"))
-        .join(e.select(col("src").as("ib_src"), col("dst").as("b2")),
+        .join(broadcast(e.select(col("src").as("ib_src"), col("dst").as("b2"))),
           col("a2") =!= col("b2"))
         .join(s1.select(col("a").as("ia_src"), col("b").as("ib_src"),
           col("s1").as("s1v")), Seq("ia_src", "ib_src"))

@@ -308,7 +308,11 @@ object Frontier121Queries {
           | + (case when a.r_ord < b.r_ord then 1 else 0 end)
           | + (case when a.r_cust < b.r_cust then 1 else 0 end)
           | + (case when a.r_avg < b.r_avg then 1 else 0 end)""".stripMargin)
-      val cope = r.as("a").join(r.as("b"), col("b.nk") =!= col("a.nk"))
+      // broadcast the 25-row side explicitly: r roots in a
+      // localCheckpoint (no size stats), so the non-equi self-join
+      // would otherwise plan as CartesianProduct instead of a bounded
+      // BNLJ
+      val cope = r.as("a").join(broadcast(r.as("b")), col("b.nk") =!= col("a.nk"))
         .groupBy(col("a.nk").as("nk"))
         .agg(sum(when(wins > 2, 2).when(wins === 2, 1).otherwise(0))
           .cast("long").as("copeland_halves"))

@@ -141,7 +141,7 @@ object Frontier124Queries {
         |  SELECT vec_id AS qid,
         |    list_transform(embedding,
         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id % 97 = 1),
+        |  FROM embeddings WHERE vec_id % 97 = 1 AND vec_id < 9700),
         |c AS (
         |  SELECT vec_id AS cid,
         |    list_transform(embedding,
@@ -183,7 +183,11 @@ object Frontier124Queries {
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000)" +
           " as bigint))")
       val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") % 97 === 1)
+      // the key cap bounds the query set to ≤100 rows at ANY corpus
+      // size (dense key, no rows dropped at test scales) — without it
+      // the 1/97 sample scales with the corpus and the broadcast
+      // cross-join is quadratic at 100 TB (the PlanSweep bnlj rule)
+      val q = emb.filter(col("vec_id") % 97 === 1 && col("vec_id") < 9700)
         .select(col("vec_id").as("qid"), quant(col("embedding")).as("qv"))
       val c = emb.select(col("vec_id").as("cid"), quant(col("embedding")).as("cv"))
       val dz = broadcast(q).crossJoin(c).filter(col("cid") =!= col("qid"))

@@ -61,7 +61,12 @@ object Frontier33Queries {
         .select(col("vec_id").as("neighbor_id"), col("w0"), col("w1"))
       val ham = (bit_count(col("qw0").bitwiseXOR(col("w0")))
         + bit_count(col("qw1").bitwiseXOR(col("w1")))).cast("int")
-      val pairs = q.crossJoin(db).select(col("query_id"), col("neighbor_id"), ham.as("hamming"))
+      // broadcast the ≤10-row QUERY side explicitly — left alone the
+      // planner picked BuildRight and shipped the corpus-sized code
+      // table to every task (the one real violation the r5 PlanSweep
+      // found)
+      val pairs = broadcast(q).crossJoin(db)
+        .select(col("query_id"), col("neighbor_id"), ham.as("hamming"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
       pairs.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= 5)
     },
