@@ -55,6 +55,36 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("pair EXACTLY at the threshold is included by both paths (>= rule, ceil bound keeps it)") {
+    // |A∩B| = 7, |A∪B| = 10 → jaccard = 0.7 exactly. Two boundary
+    // hazards pinned at once: (1) the final filter is INCLUSIVE
+    // (jaccard >= t, matching the d2 oracle's >=) — a strict > would
+    // silently drop every exactly-at-threshold pair; (2) the size
+    // pre-filter's ceil(n·t) bounds sit exactly on the pair: sizes
+    // (10, 7) need 7 >= ceil(10·0.7) = 7 — any off-by-one (e.g. a
+    // floor(n·t)+1 formulation, = 8 here) prunes the legitimate pair
+    // before the verify stage ever sees it.
+    val a = (1 to 7).map(i => s"c$i") ++ Seq("a1", "a2", "a3") // 10 tokens
+    val b = (1 to 7).map(i => s"c$i")                         // 7 tokens ⊂ a
+    val docs2 = Seq((1L, "en", a.mkString(" ")), (2L, "en", b.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    for (limit <- Seq(4096, 3)) {
+      val got = JaccardJoin.pairs(docs2, "doc_id", "lang", "text",
+        threshold = 0.7, vocabLimit = limit)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 0.7)), s"vocabLimit=$limit got=$got")
+    }
+    // one token fewer on b (6/10 = 0.6 < 0.7) must be excluded
+    val docs3 = Seq((1L, "en", a.mkString(" ")),
+      (2L, "en", (1 to 6).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    for (limit <- Seq(4096, 3)) {
+      val got = JaccardJoin.pairs(docs3, "doc_id", "lang", "text",
+        threshold = 0.7, vocabLimit = limit).collect()
+      assert(got.isEmpty, s"vocabLimit=$limit got=${got.toSeq}")
+    }
+  }
+
   test("containment: directional, subset docs detected, both paths exact") {
     val cdocs = Seq(
       (1L, "en", "a b c d"),

@@ -87,6 +87,21 @@ class ShardedRankSpec extends SparkSpec {
     }
   }
 
+  test("t21/a43 registered queries are bit-stable across 3 fresh evaluations") {
+    // The r4 verdict's done-criterion for the determinism rework: the
+    // QUERIES that ride ShardedRank (not just the operator) must give
+    // identical bytes on re-evaluation, with no checkpoint pinning.
+    Seq("t21_zipf_fit", "a43_rank_sum_u").foreach { q =>
+      val runs = (1 to 3).map { _ =>
+        val df = SparkEntry.queries(q)(spark, sf())
+        val out = df.collect().map(_.toSeq).toSet
+        spark.catalog.clearCache()
+        out
+      }
+      assert(runs(0) == runs(1) && runs(1) == runs(2), s"$q drifted across runs")
+    }
+  }
+
   test("t15 sharded output equals the reference single-window ranking") {
     val out = SparkEntry.queries("t15_vocab_build")(spark, sf())
     val tf = graft.Tables.documents(spark, sf())

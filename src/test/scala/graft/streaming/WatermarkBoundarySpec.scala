@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Pins watermark semantics at the EXACT boundary — the companion to
+  * SessionBoundarySpec's gap rule, for the staged `ev*s` queries whose
+  * oracles assume every window below the final flush is emitted
+  * exactly once.
+  *
+  * Two rules under test (append mode, tumbling 10-minute windows,
+  * zero watermark delay so the arithmetic is exact):
+  *
+  *  1. EMISSION: a window is finalized and emitted in the first batch
+  *     whose STARTING watermark is >= the window end (Spark's eviction
+  *     predicate is `window.end <= watermark` — end EQUAL to the
+  *     watermark already evicts; the window does not linger until the
+  *     watermark strictly passes it).
+  *  2. LATE DROP: once a window is evicted, a late row falling into it
+  *     is dropped — it neither resurrects the window nor double-emits
+  *     it. This is the contract that makes the staged upsert queries'
+  *     keep-latest merges deterministic: an emitted (user, window) key
+  *     can never be emitted again.
+  *
+  * The watermark advances BETWEEN batches (batch N runs with the
+  * watermark computed from batch N-1's max event time) — but with
+  * `spark.sql.streaming.noDataMicroBatches.enabled` (default true)
+  * the engine immediately runs one extra EMPTY batch whenever the
+  * advance could change results, so `processAllAvailable()` after one
+  * addData already reflects that batch's watermark: no trailing
+  * trigger event is needed (empirically confirmed here — an earlier
+  * draft of this spec assumed a trailing batch was required and the
+  * no-data batch emitted the window first).
+  */
+class WatermarkBoundarySpec extends SparkSpec {
+
+  // anchor ALIGNED to a 10-minute window boundary (1700000400 % 600 == 0)
+  // so ts(0)/ts(600) are exact window starts
+  private val base = 1700000400000L
+  private def ts(sec: Long): Timestamp = new Timestamp(base + sec * 1000L)
+
+  private def windowed(df: org.apache.spark.sql.DataFrame) =
+    df.withWatermark("ts", "0 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("start"), col("n"))
+
+  test("window with end EXACTLY equal to the watermark is emitted (end <= wm evicts)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = windowed(mem.toDF().toDF("ts", "v"))
+      .writeStream.format("memory").queryName("wmb_exact")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window A = [0, 600). Event at 300s. Watermark after batch: 300s
+      // < A.end, so nothing can be final yet.
+      mem.addData((ts(300), 1L)); q.processAllAvailable()
+      assert(spark.table("wmb_exact").isEmpty,
+        "nothing may emit while the watermark trails the window end")
+      // Event at EXACTLY 600s. Watermark advances to 600s == A.end and
+      // the no-data batch runs. NO further input: whether A appears now
+      // pins the eviction comparator.
+      mem.addData((ts(600), 1L)); q.processAllAvailable()
+      val emitted = spark.table("wmb_exact").select("start")
+        .collect().map(_.getTimestamp(0)).toSet
+      assert(emitted == Set(ts(0)),
+        s"window [0,600) with end == watermark must be emitted (end <= wm evicts) " +
+          s"and [600,1200) must stay open; got $emitted")
+    } finally q.stop()
+  }
+
+  test("late row into an evicted window is dropped, never re-emitted") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = windowed(mem.toDF().toDF("ts", "v"))
+      .writeStream.format("memory").queryName("wmb_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(300), 1L)); q.processAllAvailable()   // A=[0,600), n=1
+      mem.addData((ts(600), 1L)); q.processAllAvailable()   // wm -> 600
+      mem.addData((ts(1200), 1L)); q.processAllAvailable()  // A emitted here
+      val afterEmit = spark.table("wmb_late")
+        .filter(col("start") === lit(ts(0))).collect()
+      assert(afterEmit.map(_.getLong(1)).toSeq == Seq(1L))
+      // LATE: a row at 299s targets evicted window A. One more trigger
+      // batch drains any effect it could have.
+      mem.addData((ts(299), 1L)); q.processAllAvailable()
+      mem.addData((ts(2000), 1L)); q.processAllAvailable()
+      val rows = spark.table("wmb_late")
+        .filter(col("start") === lit(ts(0))).collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L),
+        s"evicted window must not re-emit or change count; got ${rows.toSeq}")
+      val dropped = q.recentProgress.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      assert(dropped >= 1L, "the late row must be counted as dropped by the watermark")
+    } finally q.stop()
+  }
+}
