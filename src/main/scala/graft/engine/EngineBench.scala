@@ -17,7 +17,12 @@ object EngineBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10000)
     val work = if (args.length > 1) args(1) else "/tmp/graft_engine_bench"
-    val corpusDir = s"$work/corpus"
+    // key the corpus dir by (n, salt): genCorpus writes exactly n files,
+    // so reusing one dir across different-sized runs would leave the
+    // prior run's tail files in place and silently inflate the corpus
+    // (observed: a 5k salted run after a 10k run parsed 10k docs)
+    val saltEvery = sys.env.getOrElse("GRAFT_SALT_EVERY", "0").toInt
+    val corpusDir = s"$work/corpus_${n}_s$saltEvery"
     val outDir = s"$work/out"
 
     val spark = SparkSession.builder()
@@ -36,7 +41,6 @@ object EngineBench {
     // GRAFT_SALT_EVERY=k malforms every k-th document (truncation) to
     // exercise the quarantine path at volume — the build must complete
     // and the FAIL_LIST row count must equal the salt count.
-    val saltEvery = sys.env.getOrElse("GRAFT_SALT_EVERY", "0").toInt
     val t0gen = System.nanoTime()
     val salted = genCorpus(corpusDir, n, saltEvery)
     val genSec = (System.nanoTime() - t0gen) / 1e9
