@@ -58,6 +58,46 @@ object ShardedRank {
                     order: Column*): DataFrame =
     twoPhase(df, order, sum(value), w => sum(value).over(w), outCol)
 
+  /** Several global rankings over the SAME input (the RFM shape:
+    * recency/frequency/monetary quintiles each need their own total
+    * order) sharing ONE persisted base and ONE count. A fold of
+    * `withRank` calls pays a cache materialization + count per level —
+    * at corpus scale that is k extra passes for k rankings; here the
+    * per-level work is exactly the intrinsic part (one boundary
+    * sample, one shuffle + partitioned window, one broadcast offsets
+    * join), with the offsets aggregated from the narrow persisted base
+    * rather than the widening accumulator.
+    */
+  def withRanks(df: DataFrame, specs: (String, Seq[Column])*): DataFrame = {
+    if (specs.isEmpty) return df
+    val input = df.persist()
+    val n = input.count()
+    specs.zipWithIndex.foldLeft(input: DataFrame) {
+      case (acc0, ((rankCol, order), i)) =>
+        // each level's accumulator persists too (lazily — materialized
+        // by its own window pass), or level k would re-execute all k-1
+        // earlier window shuffles inside its lineage; what the shared
+        // base saves vs chained withRank is the per-level count job
+        // and the offsets aggregation over the widening frame
+        val acc = if (i == 0) acc0 else acc0.persist()
+        val keys = order.map(parse)
+        val shardCol = s"__shard$i"
+        val shardExpr = shardExprFor(input, n, keys)
+        val offsets = input.withColumn(shardCol, shardExpr)
+          .groupBy(col(shardCol)).agg(count(lit(1)).as("__cnt"))
+          .withColumn("__off", coalesce(sum(col("__cnt")).over(
+            Window.orderBy(col(shardCol))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(shardCol), col("__off"))
+        val wLocal = Window.partitionBy(col(shardCol)).orderBy(order: _*)
+        acc.withColumn(shardCol, shardExpr)
+          .withColumn("__lacc", row_number().over(wLocal).cast("long"))
+          .join(broadcast(offsets), shardCol)
+          .withColumn(rankCol, col("__off") + col("__lacc"))
+          .drop(shardCol, "__lacc", "__off")
+    }
+  }
+
   /** Shared two-phase shape: deterministic shard assignment, a local
     * windowed accumulator per shard, per-shard totals prefix-summed
     * into broadcast offsets. `perShard` aggregates one shard's total
@@ -87,16 +127,26 @@ object ShardedRank {
     * the row's key values.
     */
   private def withShard(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val shards = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val keys = order.map(parse)
-    val keyCols = keys.map(_._1)
     // persist is a PERF hint only (one computation of an expensive
     // upstream feeds count + sample + both downstream branches);
     // correctness survives eviction/recompute because the shard id is
     // a deterministic function of the row's key values
     val input = df.persist()
     val n = input.count()
+    input.withColumn("__shard", shardExprFor(input, n, keys))
+  }
+
+  /** The shard-id expression for one ranking: sample boundaries from
+    * `input` (expected persisted; the sample is a column-pruned cache
+    * scan), return a pure expression of the key values usable on ANY
+    * frame carrying those key columns.
+    */
+  private def shardExprFor(input: DataFrame, n: Long,
+                           keys: Seq[(Column, Boolean, Boolean)]): Column = {
+    val shards = input.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val keyCols = keys.map(_._1)
     val m = math.max(1L, n / (shards.toLong * 64)) // ~64 samples per shard
     val sampled = input
       .filter(pmod(xxhash64(keyCols: _*), lit(m)) === 0)
@@ -115,11 +165,9 @@ object ShardedRank {
       else (1 until shards)
         .map(i => sorted(((i.toLong * sorted.length) / shards).toInt))
         .distinct
-    val shardExpr =
-      if (boundaries.isEmpty) lit(0)
-      else boundaries.map(b => when(geBoundary(keys, b), 1).otherwise(0))
-        .reduce(_ + _)
-    input.withColumn("__shard", shardExpr)
+    if (boundaries.isEmpty) lit(0)
+    else boundaries.map(b => when(geBoundary(keys, b), 1).otherwise(0))
+      .reduce(_ + _)
   }
 
   /** (key expression, ascending, nulls-first) from a possibly

@@ -189,10 +189,9 @@ object Frontier118Queries {
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
           .as("s1"),
           (count(lit(1)) * 100000000L).cast("long").as("s2"))
-      val r1 = ShardedRank.withRank(stats, "pos1",
-        col("s1").desc, col("ck").asc)
-      val ranked = ShardedRank.withRank(r1, "pos2",
-        col("s2").desc, col("ck").asc)
+      val ranked = ShardedRank.withRanks(stats,
+        "pos1" -> Seq(col("s1").desc, col("ck").asc),
+        "pos2" -> Seq(col("s2").desc, col("ck").asc))
         .withColumn("score", col("s1") + col("s2"))
         .localCheckpoint(true) // feeds top-10, threshold list, and count
       val top10 = ranked.orderBy(col("score").desc, col("ck").asc).limit(10)

@@ -130,11 +130,13 @@ object Frontier15Queries {
         .select(col("o_custkey"), datediff(col("ref_day"), col("last_day")).as("recency"),
           col("freq"), col("cents"))
       val n = cust.agg(count(lit(1)).as("n"))
-      val ranked = ShardedRank.withRank(
-        ShardedRank.withRank(
-          ShardedRank.withRank(cust, "r_rk", col("recency"), col("o_custkey")),
-          "f_rk", col("freq").desc, col("o_custkey")),
-        "m_rk", col("cents").desc, col("o_custkey"))
+      // one persisted base + one count shared by all three rankings
+      // (withRanks), instead of a fold of withRank calls that each
+      // re-materialize and re-count the widening chain
+      val ranked = ShardedRank.withRanks(cust,
+        "r_rk" -> Seq(col("recency"), col("o_custkey")),
+        "f_rk" -> Seq(col("freq").desc, col("o_custkey")),
+        "m_rk" -> Seq(col("cents").desc, col("o_custkey")))
       ranked.crossJoin(broadcast(n))
         .select(
           (expr("((r_rk - 1) * 5) div n").cast("int") + 1).as("r_q"),

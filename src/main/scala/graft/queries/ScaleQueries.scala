@@ -298,9 +298,11 @@ object ScaleQueries {
              |  then ($rank - 1) div (__n div 3 + 1)
              |  else (__n % 3) + ($rank - (__n % 3) * (__n div 3 + 1) - 1) div (__n div 3)
              |end + 1 as int)""".stripMargin))
-      var t = graft.operators.ShardedRank.withRank(u, "__r1", col("rec"), col("user_id"))
-      t = graft.operators.ShardedRank.withRank(t, "__r2", col("freq"), col("user_id"))
-      t = graft.operators.ShardedRank.withRank(t, "__r3", col("mon_c"), col("user_id"))
+      // one persisted base + one count shared by all three rankings
+      var t = graft.operators.ShardedRank.withRanks(u,
+        "__r1" -> Seq(col("rec"), col("user_id")),
+        "__r2" -> Seq(col("freq"), col("user_id")),
+        "__r3" -> Seq(col("mon_c"), col("user_id")))
       t = t.crossJoin(broadcast(u.agg(count(lit(1)).as("__n"))))
       t = ntile3(t, "__r1", "r_bin")
       t = ntile3(t, "__r2", "f_bin")

@@ -87,6 +87,26 @@ class ShardedRankSpec extends SparkSpec {
     }
   }
 
+  test("withRanks equals chained withRank calls (three orders, shared base)") {
+    val df = (1 to 3000).map { i =>
+      (i.toLong, (i * 7919L) % 1000, ((i * 104729L) % 500).toString)
+    }.toDF("id", "a", "b")
+    val chained = ShardedRank.withRank(
+      ShardedRank.withRank(
+        ShardedRank.withRank(df, "r1", col("a"), col("id")),
+        "r2", col("b").desc, col("id")),
+      "r3", col("a").desc, col("b"), col("id"))
+      .select("id", "r1", "r2", "r3").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fused = ShardedRank.withRanks(df,
+      "r1" -> Seq(col("a"), col("id")),
+      "r2" -> Seq(col("b").desc, col("id")),
+      "r3" -> Seq(col("a").desc, col("b"), col("id")))
+      .select("id", "r1", "r2", "r3").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fused == chained)
+  }
+
   test("t21/a43 registered queries are bit-stable across 3 fresh evaluations") {
     // The r4 verdict's done-criterion for the determinism rework: the
     // QUERIES that ride ShardedRank (not just the operator) must give
