@@ -38,6 +38,13 @@ import org.apache.spark.sql.graftinterop.ColumnInterop
   * otherwise rank assignment inside a shard would be ambiguous.
   * Boundary quality affects only shard BALANCE, never rank values: an
   * empty sample degrades to one shard, still correct.
+  *
+  * Caching contract: the input (and, for [[withRanks]], each level's
+  * accumulator) is `persist()`ed and NOT unpersisted — the persisted
+  * frame feeds the boundary sample, the offsets aggregate, and the
+  * windowed pass, all of which execute after this method returns.
+  * Long-lived sessions issuing many rankings should
+  * `spark.catalog.clearCache()` between queries (Bench does).
   */
 object ShardedRank {
 
