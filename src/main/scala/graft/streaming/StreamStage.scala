@@ -165,6 +165,86 @@ object StreamStage {
     spark.read.parquet(tblRoot.resolve(s"v${version.get()}").toString)
   }
 
+  /** The RECOVERABLE twin of [[runTransformUpsert]]: version
+    * directories are keyed by Spark's own BATCH ID instead of a
+    * driver-local counter, which is the textbook exactly-once
+    * `foreachBatch` contract — batch B reads `v{B}` (the state every
+    * application of batch B−1 left behind) and overwrites `v{B+1}`,
+    * so replaying an uncommitted batch after a crash re-derives the
+    * same output instead of double-applying it. That makes the sink
+    * safe to resume from the streaming checkpoint: source offsets,
+    * the watermark, and the aggregation state store all restore from
+    * `ckpt_<name>`, and the table picks up at the version the last
+    * COMMITTED batch published.
+    *
+    * Fault injection (spec hook): `failAtBatch` throws inside
+    * `foreachBatch` at that batch id — with `failAfterWrite=false`
+    * before anything is read or written (clean replay), with `true`
+    * after `v{B+1}` is fully written but before the batch commits
+    * (the hard case: output exists, the commit log says it doesn't,
+    * and only idempotent keying saves the replay).
+    *
+    * `resume = true` keeps the checkpoint and table versions from a
+    * previous (failed) invocation instead of starting fresh.
+    */
+  def runRecoverableUpsert(spark: SparkSession, name: String, stageDir: String,
+                           bulk: DataFrame, flushes: Seq[DataFrame],
+                           shufflePartitions: Option[Int] = None,
+                           reuseKey: Option[String] = None,
+                           resume: Boolean = false,
+                           failAtBatch: Option[Long] = None,
+                           failAfterWrite: Boolean = false,
+                           extraConfs: Map[String, String] = Map.empty)
+                          (transform: DataFrame => DataFrame)
+                          (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val inDir = ensureStaged(stageDir, bulk, flushes, reuseKey)
+    val ckptDir = Paths.get(stageDir, s"ckpt_$name")
+    val tblRoot = Paths.get(stageDir, s"tbl_$name")
+    if (!resume) { deleteRecursively(ckptDir); deleteRecursively(tblRoot) }
+    Files.createDirectories(tblRoot)
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val applyBatch = (batch: DataFrame, batchId: Long) => {
+      if (failAtBatch.contains(batchId) && !failAfterWrite)
+        throw new RuntimeException(s"injected failure before batch $batchId")
+      val current =
+        if (batchId == 0L) None
+        else Some(spark.read.parquet(tblRoot.resolve(s"v$batchId").toString))
+      merge(current, batch).write.mode("overwrite")
+        .parquet(tblRoot.resolve(s"v${batchId + 1}").toString)
+      if (failAtBatch.contains(batchId) && failAfterWrite)
+        throw new RuntimeException(s"injected failure after writing batch $batchId")
+      ()
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val beforeExtra = extraConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = transform(src).writeStream
+        .foreachBatch(applyBatch)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      beforeExtra.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.read.parquet(tblRoot.resolve(s"v${latestVersion(tblRoot)}").toString)
+  }
+
+  /** Highest committed version under a batchId-keyed table root. */
+  def latestVersion(tblRoot: Path): Long =
+    Files.list(tblRoot).toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }.max
+
   /** Stage bulk + follow-up files as an admission-controlled file
     * source (one file per micro-batch), reused across queries via the
     * caller's source-version key.

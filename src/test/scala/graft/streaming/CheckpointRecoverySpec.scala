@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import java.sql.Timestamp
+
+/** Checkpoint recovery is the production semantics everything else
+  * rides on: a 100 TB/day pipeline WILL lose a driver mid-batch, and
+  * the contract is that restarting from the checkpoint yields exactly
+  * the output an uninterrupted run would have produced — no lost
+  * windows, no double-applied batches. This spec kills a stateful
+  * windowed aggregation mid-stream (both before and after the sink
+  * write — the latter is the hard half of exactly-once, where the
+  * output exists but the commit log says it doesn't), resumes from
+  * the same checkpoint, and asserts bit-equality with an
+  * uninterrupted run and with the batch oracle.
+  *
+  * The state-recovery crux: the second window's events are split
+  * across the pre-kill and post-kill micro-batches, so its count is
+  * only reachable if the aggregation state store restores from the
+  * checkpoint — losing state would undercount it, replaying from
+  * offset 0 would overcount everything.
+  */
+class CheckpointRecoverySpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    new Timestamp(1700000000000L + minute * 60000L)
+
+  // real events: the second window [22:20,22:30) is split across
+  // f0 (event 3) and f1 (events 4, 5) — the batches on either side
+  // of the kill — so its count is correct only with restored state
+  private def events = {
+    import spark.implicits._
+    Seq(
+      (1L, ts(1), 10L, 2.0),    // f0, window [22:10,22:20)
+      (2L, ts(4), 20L, 3.0),    // f0, window [22:10,22:20)
+      (3L, ts(12), 10L, 5.0),   // f0, window [22:20,22:30)
+      (4L, ts(7), 30L, 7.0),    // f1, window [22:20,22:30)
+      (5L, ts(15), 20L, 11.0))  // f1, window [22:20,22:30)
+      .toDF("event_id", "ts", "user_id", "value")
+  }
+
+  private def flush(minute: Int) = {
+    import spark.implicits._
+    Seq((999L, ts(minute), 999L, 0.0))
+      .toDF("event_id", "ts", "user_id", "value")
+  }
+
+  // no pre-agg filter: Catalyst pushes deterministic filters BELOW
+  // withWatermark, which would drop the flush rows before they ever
+  // advance the watermark (the sink-side-exclusion rule every ev*s
+  // query follows) — flush windows are dropped in the merge instead
+  private val transform: DataFrame => DataFrame = src =>
+    src.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+      .select(col("w.start").as("win_start"), col("n"), col("total"))
+
+  // insert-only union: the merge most sensitive to duplicate emission;
+  // flush-row windows (far future) are excluded here, on materialized
+  // micro-batch output, where a filter can't reach the streaming plan
+  private val insertOnly = (current: Option[DataFrame], batch: DataFrame) => {
+    val real = batch.filter(col("win_start") < ts(30))
+    current.map(_.unionByName(real)).getOrElse(real)
+  }
+
+  // tumbling windows align to the epoch: starts 22:10:00 / 22:20:00
+  private val w0 = new Timestamp(1699999800000L)
+  private val w1 = new Timestamp(1700000400000L)
+  private def expected: Set[(Timestamp, Long, Double)] =
+    Set((w0, 2L, 5.0), (w1, 3L, 23.0))
+
+  private def collect(df: DataFrame): Set[(Timestamp, Long, Double)] = {
+    import spark.implicits._
+    df.select("win_start", "n", "total").as[(Timestamp, Long, Double)]
+      .collect().toSet
+  }
+
+  private def bulk = events.filter(col("event_id") <= 3)
+  private def deltas = Seq(
+    events.filter(col("event_id") > 3), // batch 1 — the kill point
+    flush(60), flush(120))              // advance watermark, then emit
+
+  test("kill before the sink write, resume from checkpoint") {
+    val dir = "/tmp/graft_recovery_spec/before"
+    val thrown = intercept[StreamingQueryException] {
+      StreamStage.runRecoverableUpsert(spark, "rec_before", dir,
+        bulk, deltas, shufflePartitions = Some(2),
+        failAtBatch = Some(1L))(transform)(insertOnly)
+    }
+    assert(thrown.getMessage.contains("injected failure before batch 1"))
+    val resumed = StreamStage.runRecoverableUpsert(spark, "rec_before", dir,
+      bulk, deltas, shufflePartitions = Some(2),
+      resume = true)(transform)(insertOnly)
+    assert(collect(resumed) == expected)
+  }
+
+  test("kill after the sink write, resume replays idempotently") {
+    val dir = "/tmp/graft_recovery_spec/after"
+    val thrown = intercept[StreamingQueryException] {
+      StreamStage.runRecoverableUpsert(spark, "rec_after", dir,
+        bulk, deltas, shufflePartitions = Some(2),
+        failAtBatch = Some(1L), failAfterWrite = true)(transform)(insertOnly)
+    }
+    assert(thrown.getMessage.contains("injected failure after writing batch 1"))
+    // v2 exists on disk; the commit log says batch 1 never happened
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tbl_rec_after", "v2")))
+    val resumed = StreamStage.runRecoverableUpsert(spark, "rec_after", dir,
+      bulk, deltas, shufflePartitions = Some(2),
+      resume = true)(transform)(insertOnly)
+    // insert-only merge: any double-application would double a count
+    assert(collect(resumed) == expected)
+  }
+
+  test("session-window state restores across a kill under the RocksDB provider") {
+    import spark.implicits._
+    val rocksdb = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // user 10's session spans the kill (events in f0 AND f1, 8 min
+    // apart under a 10-min gap): one merged session is only reachable
+    // if the RocksDB store restores the open partial session
+    val f0 = Seq((1L, ts(1), 10L, 1.0), (2L, ts(2), 20L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val f1 = Seq((3L, ts(9), 10L, 1.0), (4L, ts(30), 20L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val sessionize: DataFrame => DataFrame = src =>
+      src.withWatermark("ts", "5 minutes")
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("user_id"), col("n"))
+    val sessMerge = (current: Option[DataFrame], batch: DataFrame) => {
+      val real = batch.filter(col("win_start") < ts(60))
+      current.map(_.unionByName(real)).getOrElse(real)
+    }
+    val dir = "/tmp/graft_recovery_spec/session"
+    val thrown = intercept[StreamingQueryException] {
+      StreamStage.runRecoverableUpsert(spark, "rec_sess", dir,
+        f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
+        failAtBatch = Some(1L), failAfterWrite = true,
+        extraConfs = rocksdb)(sessionize)(sessMerge)
+    }
+    assert(thrown.getMessage.contains("injected failure after writing batch 1"))
+    val resumed = StreamStage.runRecoverableUpsert(spark, "rec_sess", dir,
+      f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
+      resume = true, extraConfs = rocksdb)(sessionize)(sessMerge)
+    val got = resumed.select("win_start", "user_id", "n")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(got == Set((ts(1), 10L, 2L), (ts(2), 20L, 1L), (ts(30), 20L, 1L)))
+  }
+
+  test("uninterrupted run matches the recovered runs and the batch oracle") {
+    val dir = "/tmp/graft_recovery_spec/clean"
+    val clean = StreamStage.runRecoverableUpsert(spark, "rec_clean", dir,
+      bulk, deltas, shufflePartitions = Some(2))(transform)(insertOnly)
+    assert(collect(clean) == expected)
+    // batch oracle over the same real events
+    val oracle = events
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+      .select(col("w.start").as("win_start"), col("n"), col("total"))
+    assert(collect(oracle) == expected)
+  }
+}
