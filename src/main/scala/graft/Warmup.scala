@@ -139,10 +139,12 @@ object Warmup {
       Seq("graft_warmup_stream", "graft_warmup_join", "graft_warmup_rocksdb")
         .foreach(t => try spark.catalog.dropTempView(t) catch { case _: Throwable => () })
       dirs.foreach { p =>
-        try java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
-        catch { case _: Throwable => () }
+        try {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally s.close()
+        } catch { case _: Throwable => () }
       }
     }
   }

@@ -148,8 +148,10 @@ object Core238E2E {
   def writeCorpus(): Unit = {
     val dir = Paths.get(corpusDir)
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.delete(p))
+      finally s.close()
     }
     Files.createDirectories(dir)
     (0 until NDocs).foreach { i =>

@@ -241,9 +241,10 @@ object StreamStage {
   }
 
   /** Highest committed version under a batchId-keyed table root. */
-  def latestVersion(tblRoot: Path): Long =
-    Files.list(tblRoot).toArray.map(_.asInstanceOf[Path].getFileName.toString)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }.max
+  def latestVersion(tblRoot: Path): Long = {
+    val names = listDir(tblRoot).map(_.getFileName.toString)
+    names.collect { case n if n.startsWith("v") => n.drop(1).toLong }.max
+  }
 
   /** Stage bulk + follow-up files as an admission-controlled file
     * source (one file per micro-batch), reused across queries via the
@@ -279,17 +280,26 @@ object StreamStage {
 
   /** Rename the just-written part file to a stable ordered name. */
   private def renameParts(dir: Path, known: Set[String], to: String): String = {
-    val added = Files.list(dir).filter { p =>
+    val added = listDir(dir).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("part-") && n.endsWith(".parquet") && !known(n)
-    }.toArray.map(_.asInstanceOf[Path])
+    }
     require(added.length == 1, s"expected one new part file, got ${added.length}")
     Files.move(added.head, dir.resolve(to))
     to
   }
 
+  /** `Files.list` with the stream closed (it holds a directory fd). */
+  private def listDir(dir: Path): Array[Path] = {
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }
