@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, IntSqrt, RollingHash, SortedOverlap}
+import graft.functions.{DotProduct, DupNgrams, IntSqrt, RollingHash, SortedOverlap}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session so they are callable from SQL and
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "graft_rollhash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dupgrams"),
+      new ExpressionInfo(classOf[DupNgrams].getCanonicalName, "graft_dupgrams"),
+      (children: Seq[Expression]) => DupNgrams(children.head, children(1))))
     // Spark's Bloom-filter sketch aggregate + membership probe exist in
     // catalyst but are not in the public function registry (they're
     // planted by the runtime-filter rule); expose them so the explicit

@@ -46,14 +46,15 @@ object Frontier101Queries {
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      // dup = |grams| − |distinct grams| via the native hash-set pass
+      // (functions.DupNgrams): the transform + array_distinct twin is
+      // CodegenFallback-interpreted and pairwise-quadratic per row —
+      // same exact value (L < n yields 0, matching the CASE guard in
+      // the SQL), one codegen'd call per (doc, n)
       val gr = toks.crossJoin(broadcast(s.range(1, 13).toDF("n")))
         .select(col("doc_id"), col("n"),
-          when(size(col("t")) >= col("n"),
-            expr("""size(transform(sequence(1, size(t) - n + 1),
-                i -> array_join(slice(t, i, n), ' ')))
-              - size(array_distinct(transform(sequence(1, size(t) - n + 1),
-                i -> array_join(slice(t, i, n), ' '))))"""))
-            .otherwise(0).as("dup"))
+          graft.functions.DupNgrams.dupNgramsNative(col("t"), col("n"))
+            .as("dup"))
       gr.groupBy(col("doc_id"))
         .agg(max(when(col("dup") > 0, col("n")).otherwise(0L)).as("longest"))
         .groupBy(col("longest").cast("long").as("longest_repeat"))
