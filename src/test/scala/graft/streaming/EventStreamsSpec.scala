@@ -214,6 +214,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 3.0)), s"closed first session expected, got $got")
   }
 
+  test("streamAsofEnrich tie semantics: dim at the fact's exact ts applies; last writer wins") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = streamAsofEnrich(mem.toDS())
+        .writeStream.format("memory").queryName("asof_tie_out")
+        .outputMode(OutputMode.Append).start()
+      // batch 1 — ALL at the same timestamp: two signups (higher
+      // event_id wins the tie) and a purchase whose event_id sits
+      // BETWEEN them (ordering is (ts, dim-before-fact, id), not id)
+      mem.addData(
+        Event(1, ts(5), 1, "signup", 10.0, "{}"),
+        Event(3, ts(5), 1, "signup", 20.0, "{}"),
+        Event(2, ts(5), 1, "purchase", 99.0, "{}"),
+        Event(6, ts(5), 2, "purchase", 5.0, "{}")) // other user: no dim
+      q.processAllAvailable()
+      // batch 2 — a fact in a LATER batch at the dim's exact ts still
+      // matches it (the stored state is the `<=` match)
+      mem.addData(Event(7, ts(5), 1, "purchase", 50.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("asof_tie_out")
+        .as[AsofOut].collect().map(o => o.event_id -> o.dim_cents).toMap
+      assert(got(2L) == Some(2000L)) // tie: signup id 3 (20.00) wins over id 1
+      assert(got(6L) == None)        // no dim for user 2 — never cross-user
+      assert(got(7L) == Some(2000L)) // equal-ts match across batches
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Refresh.incrementalReturns: XML monthly refresh appends only new filings") {
     import graft.engine.{Core, SchemaBuild}
     val tmp = java.nio.file.Files.createTempDirectory("graft-990-refresh").toFile
