@@ -99,4 +99,57 @@ class WatermarkBoundarySpec extends SparkSpec {
       assert(dropped >= 1L, "the late row must be counted as dropped by the watermark")
     } finally q.stop()
   }
+
+  test("session window with end EXACTLY equal to the watermark is emitted") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("start"), col("uid"), col("n"))
+      .writeStream.format("memory").queryName("wmb_session")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 at t=0 opens session [0, 600); nothing can close it yet
+      mem.addData((ts(0), 1L)); q.processAllAvailable()
+      assert(spark.table("wmb_session").isEmpty)
+      // user 2 at EXACTLY t=600 drives the watermark to 600 == user 1's
+      // session end — the tumbling-window eviction rule (end <= wm)
+      // must hold for the session-window operator too
+      mem.addData((ts(600), 2L)); q.processAllAvailable()
+      val got = spark.table("wmb_session").select("start", "uid", "n")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(got == Set((ts(0), 1L, 1L)),
+        s"session [0,600) with end == watermark must emit, user 2's stays open; got $got")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: dup inside the horizon dropped, key beyond it re-emits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "600 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select("k")
+      .writeStream.format("memory").queryName("wmb_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two A's 10s apart — well inside the 600s horizon: one emission
+      mem.addData((ts(0), "A"), (ts(10), "A")); q.processAllAvailable()
+      // B at t=1800 drives the watermark to 1200; A's dedup state
+      // (expires at 0 + 600 <= 1200) is evicted
+      mem.addData((ts(1800), "B")); q.processAllAvailable()
+      // A recurs far beyond the horizon: the state-evicting variant
+      // MUST re-emit it — the documented at-least-once contract that
+      // distinguishes it from unbounded dropDuplicates (ev5s)
+      mem.addData((ts(1790), "A")); q.processAllAvailable()
+      val got = spark.table("wmb_dedup").as[String].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == Map("A" -> 2, "B" -> 1),
+        s"expected A twice (horizon-evicted) and B once; got $got")
+    } finally q.stop()
+  }
 }
