@@ -112,6 +112,20 @@ class AdversarialXmlSpec extends SparkSpec {
     put("truncated_public.xml",
       "<?xml version=\"1.0\"?><Return><ReturnHeader><Filer><EIN>400000006")
     put("clean_public.xml", doc2014("400000007", "CLEAN ORG", 777))
+    // 7. entity references: named (&amp; &lt; &apos;) and numeric
+    // (&#201; = É) — the "SMITH &amp; JONES" class real filings hit
+    put("entities_public.xml",
+      """<?xml version="1.0"?>
+        |<Return returnVersion="2014v5.0" xmlns="http://www.irs.gov/efile">
+        |  <ReturnHeader>
+        |    <ReturnTypeCd>990</ReturnTypeCd>
+        |    <TaxPeriodEndDt>2014-12-31</TaxPeriodEndDt>
+        |    <Filer><EIN>400000008</EIN>
+        |      <BusinessName><BusinessNameLine1Txt>SMITH &amp; JONES &#201;COLE &lt;O&apos;BRIEN&gt;</BusinessNameLine1Txt></BusinessName>
+        |    </Filer>
+        |  </ReturnHeader>
+        |  <ReturnData><IRS990><GrossReceiptsAmt>888</GrossReceiptsAmt></IRS990></ReturnData>
+        |</Return>""".stripMargin)
 
     val out = Pipeline.build(spark, dir.getPath, concordance = Nil)
     val core = out.core.collect().map(r =>
@@ -119,7 +133,7 @@ class AdversarialXmlSpec extends SparkSpec {
 
     // every quirk doc except the truncation lands in core
     assert(core.keySet == Set("400000001", "400000002", "400000003",
-      "400000004", "400000005", "400000007"), core.keySet)
+      "400000004", "400000005", "400000007", "400000008"), core.keySet)
     assert(out.failed.collect().map(_.getString(0)).exists(_.contains("truncated")))
 
     // prefixed + BOM + mixed + cdata extract their payloads
@@ -129,6 +143,8 @@ class AdversarialXmlSpec extends SparkSpec {
     assert(core("400000002").getAs[String]("NAME") == "BOM ORG")
     assert(core("400000003").getAs[String]("GROSSRECEIPTS") == "333")
     assert(core("400000005").getAs[String]("NAME") == "CDATA & SONS")
+    assert(core("400000008").getAs[String]("NAME") == "SMITH & JONES ÉCOLE <O'BRIEN>")
+    assert(core("400000008").getAs[String]("GROSSRECEIPTS") == "888")
 
     // duplicate-scalar policy: FIRST match (document order), not
     // Spark's default last-match — and the violation is logged
@@ -143,7 +159,7 @@ class AdversarialXmlSpec extends SparkSpec {
 
     // the full curated core builds over the quirk corpus too
     val c238 = out.core238
-    assert(c238.count() == 6)
+    assert(c238.count() == 7)
     assert(c238.columns.contains("GROSSRECEIPTS"))
   }
 
