@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   *  - duplicate scalar nodes (the R fan-out quirk, SURVEY §7): policy
   *    is FIRST match + violation log, vs Spark's default last-match
   *  - comments + CDATA around and inside values
+  *  - entity references, named + numeric
+  *  - xsi:nil="true" / empty elements (<X/>): R8's length-0→NA is a
+  *    NODE-SET test — an ABSENT path is NA, but a present-but-empty
+  *    element is xml_text == "" in the reference
+  *    (`build_efile_database_functions.R:560`), and checkbox recodes
+  *    key on node PRESENCE (length of xml_find_all), so an empty
+  *    checkbox element still counts as checked
   *  - truncated document → quarantine, never an abort
   */
 class AdversarialXmlSpec extends SparkSpec {
@@ -127,13 +134,36 @@ class AdversarialXmlSpec extends SparkSpec {
         |  <ReturnData><IRS990><GrossReceiptsAmt>888</GrossReceiptsAmt></IRS990></ReturnData>
         |</Return>""".stripMargin)
 
+    // 8. nil / empty elements: the element EXISTS but carries no text.
+    // Reference semantics (NOT the same as R8's absent-path→NA):
+    // xml_text of a present-but-empty node is "", and checkbox recodes
+    // test node-set length, so an empty checkbox element is CHECKED.
+    // The doc must parse clean — never quarantine.
+    put("nil_public.xml",
+      """<?xml version="1.0"?>
+        |<Return returnVersion="2014v5.0" xmlns="http://www.irs.gov/efile"
+        |        xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+        |  <ReturnHeader>
+        |    <ReturnTypeCd>990</ReturnTypeCd>
+        |    <TaxPeriodEndDt>2014-12-31</TaxPeriodEndDt>
+        |    <Filer><EIN>400000009</EIN>
+        |      <BusinessName><BusinessNameLine1Txt/></BusinessName>
+        |    </Filer>
+        |  </ReturnHeader>
+        |  <ReturnData><IRS990>
+        |    <GrossReceiptsAmt xsi:nil="true"/>
+        |    <TypeOfOrganizationCorpInd/>
+        |  </IRS990></ReturnData>
+        |</Return>""".stripMargin)
+
     val out = Pipeline.build(spark, dir.getPath, concordance = Nil)
     val core = out.core.collect().map(r =>
       r.getAs[String]("EIN") -> r).toMap
 
     // every quirk doc except the truncation lands in core
     assert(core.keySet == Set("400000001", "400000002", "400000003",
-      "400000004", "400000005", "400000007", "400000008"), core.keySet)
+      "400000004", "400000005", "400000007", "400000008", "400000009"),
+      core.keySet)
     assert(out.failed.collect().map(_.getString(0)).exists(_.contains("truncated")))
 
     // prefixed + BOM + mixed + cdata extract their payloads
@@ -145,6 +175,20 @@ class AdversarialXmlSpec extends SparkSpec {
     assert(core("400000005").getAs[String]("NAME") == "CDATA & SONS")
     assert(core("400000008").getAs[String]("NAME") == "SMITH & JONES ÉCOLE <O'BRIEN>")
     assert(core("400000008").getAs[String]("GROSSRECEIPTS") == "888")
+
+    // present-but-empty ≠ absent: value fields come out "" (reference
+    // xml_text semantics), NOT null — null is reserved for absent
+    // paths (R8). xsi:nil parses identically under the sparse schema.
+    assert(core("400000009").getAs[String]("GROSSRECEIPTS") == "",
+      s"xsi:nil value must be '' (present-but-empty), got ${core("400000009").getAs[String]("GROSSRECEIPTS")}")
+    assert(core("400000009").getAs[String]("NAME") == "",
+      s"empty-element value must be '' (present-but-empty), got ${core("400000009").getAs[String]("NAME")}")
+    // checkbox recode keys on node PRESENCE (R: length(xml_find_all)),
+    // so the empty checkbox element still labels
+    assert(core("400000009").getAs[String]("FORMORG") == "Corporation",
+      s"empty checkbox element must count as checked, got ${core("400000009").getAs[String]("FORMORG")}")
+    // contrast: a doc WITHOUT the element at all stays null (R8)
+    assert(core("400000001").getAs[String]("FORMORG") == null)
 
     // duplicate-scalar policy: FIRST match (document order), not
     // Spark's default last-match — and the violation is logged
@@ -159,7 +203,7 @@ class AdversarialXmlSpec extends SparkSpec {
 
     // the full curated core builds over the quirk corpus too
     val c238 = out.core238
-    assert(c238.count() == 7)
+    assert(c238.count() == 8)
     assert(c238.columns.contains("GROSSRECEIPTS"))
   }
 
