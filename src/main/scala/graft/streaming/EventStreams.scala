@@ -210,7 +210,11 @@ object EventStreams {
             if (open != null) {
               state.update(open)
               // +1s margin: the gap rule floors to seconds, the timeout
-              // clock doesn't — never time out a continuable session
+              // clock doesn't — never time out a continuable session.
+              // NB the margin is also what keeps this sessionizer
+              // output-equivalent to sessionizeWithTimers despite the
+              // APIs' polarity split (timeout fires at wm > T, timers
+              // at wm >= T — FmgwsTimeoutBoundarySpec).
               state.setTimeoutTimestamp(open.last.getTime + gapSec * 1000L + 1000L)
             }
             closed.result().iterator
