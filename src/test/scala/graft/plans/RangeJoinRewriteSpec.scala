@@ -63,6 +63,44 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got.sameElements(naive), s"naive=${naive.mkString(",")} got=${got.mkString(",")}")
   }
 
+  test("bucket-grid boundaries and strict bands match the naive join, either sign") {
+    import spark.implicits._
+    // width 10 puts every interesting value ON or AROUND a bucket
+    // line; negative values exercise trunc-division's double-width
+    // bucket at zero (monotone, so membership still holds — the
+    // residual filter removes the extra candidates)
+    val wKey = "spark.graft.rangeJoin.bucketWidthUs"
+    val prev = spark.conf.getOption(wKey)
+    spark.conf.set(wKey, "10")
+    try {
+      val pts = Seq(-20L, -10L, -1L, 0L, 1L, 9L, 10L, 11L, 20L)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val ivs = Seq(
+        (100L, 0L, 10L),    // both endpoints exactly on grid lines
+        (101L, 10L, 20L),   // adjacent grid-aligned interval
+        (102L, -10L, 0L),   // negative, grid-aligned
+        (103L, -15L, -5L),  // negative, straddles a grid line
+        (104L, 1L, 9L)      // strictly inside one bucket
+      ).toDF("iid", "lo", "hi")
+      for ((name, band) <- Seq(
+        "inclusive" -> (col("v") >= col("lo") && col("v") <= col("hi")),
+        "strict"    -> (col("v") >  col("lo") && col("v") <  col("hi")),
+        "half-open" -> (col("v") >= col("lo") && col("v") <  col("hi")))) {
+        val naive = pts.join(ivs, band).select("pid", "iid")
+          .collect().map(_.toString).sorted
+        val rewritten = pts.join(ivs.hint("merge"), band)
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_pb"), s"$name band must rewrite:\n$plan")
+        val got = rewritten.select("pid", "iid").collect().map(_.toString).sorted
+        assert(got.sameElements(naive),
+          s"$name band diverges at grid boundaries: naive=${naive.mkString(",")} got=${got.mkString(",")}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(wKey, v)
+      case None => spark.conf.unset(wKey)
+    }
+  }
+
   test("joins with an equi conjunct are left alone") {
     import spark.implicits._
     val pts = Seq((1L, "a", 5L)).toDF("pid", "k", "v")
