@@ -207,6 +207,54 @@ class AdversarialXmlSpec extends SparkSpec {
     assert(c238.columns.contains("GROSSRECEIPTS"))
   }
 
+  test("DOCTYPE documents quarantine — DTD disallowed, external entities never resolved") {
+    // XXE-shaped input: a DOCTYPE with an internal entity plus an
+    // external SYSTEM entity. The parser's secure default refuses ANY
+    // DTD (even internal-only), so both documents land in quarantine
+    // — the engine must never resolve the external reference, never
+    // abort the build, and never leak a partially-parsed row into
+    // core. (Real e-file returns carry no DTDs; quarantine is the
+    // correct fate, same as truncation.)
+    val dir = java.nio.file.Files.createTempDirectory("graft-doctype").toFile
+    def put(n: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, n).toPath, body.getBytes("UTF-8"))
+    put("doctype_xxe_public.xml",
+      """<?xml version="1.0"?>
+        |<!DOCTYPE Return [<!ENTITY co "COMPANY"> <!ENTITY xxe SYSTEM "file:///etc/hostname">]>
+        |<Return returnVersion="2014v5.0" xmlns="http://www.irs.gov/efile">
+        |  <ReturnHeader>
+        |    <ReturnTypeCd>990</ReturnTypeCd>
+        |    <TaxPeriodEndDt>2014-12-31</TaxPeriodEndDt>
+        |    <Filer><EIN>500000001</EIN>
+        |      <BusinessName><BusinessNameLine1Txt>ACME &co; &xxe;</BusinessNameLine1Txt></BusinessName>
+        |    </Filer>
+        |  </ReturnHeader>
+        |  <ReturnData><IRS990><GrossReceiptsAmt>123</GrossReceiptsAmt></IRS990></ReturnData>
+        |</Return>""".stripMargin)
+    put("doctype_internal_public.xml",
+      """<?xml version="1.0"?>
+        |<!DOCTYPE Return [<!ENTITY co "COMPANY">]>
+        |<Return returnVersion="2014v5.0" xmlns="http://www.irs.gov/efile">
+        |  <ReturnHeader>
+        |    <ReturnTypeCd>990</ReturnTypeCd>
+        |    <TaxPeriodEndDt>2014-12-31</TaxPeriodEndDt>
+        |    <Filer><EIN>500000002</EIN>
+        |      <BusinessName><BusinessNameLine1Txt>ACME &co;</BusinessNameLine1Txt></BusinessName>
+        |    </Filer>
+        |  </ReturnHeader>
+        |  <ReturnData><IRS990><GrossReceiptsAmt>456</GrossReceiptsAmt></IRS990></ReturnData>
+        |</Return>""".stripMargin)
+    put("clean_public.xml", doc2014("500000003", "CLEAN ORG", 999))
+
+    val out = Pipeline.build(spark, dir.getPath, concordance = Nil)
+    val coreEins = out.core.collect().map(_.getAs[String]("EIN")).toSet
+    assert(coreEins == Set("500000003"),
+      s"DOCTYPE docs must not reach core: $coreEins")
+    val failed = out.failed.collect().map(_.getString(0))
+    assert(failed.count(_.contains("doctype")) == 2,
+      s"both DOCTYPE docs must quarantine by name: ${failed.mkString(";")}")
+  }
+
   test("pre/post-2013 suffix variants coalesce to the same columns in one corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-era").toFile
     java.nio.file.Files.write(new java.io.File(dir, "new_public.xml").toPath,
