@@ -1,6 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** S4: the database sink. Reference writes timestamped per-year
   * CSV/RDS per table and re-combines chunks afterwards
@@ -19,7 +21,41 @@ object Emit {
       .parquet(s"$outDir/$table")
   }
 
-  /** CSV parity export (the reference's primary output format). */
-  def exportCsv(df: DataFrame, outDir: String, table: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(s"$outDir/$table.csv")
+  /** CSV parity export in the reference's exact `write.csv` byte
+    * format (its primary output, `build_efile_database_functions
+    * .R:5151-5163`): string values always quoted with embedded quotes
+    * DOUBLED, NULL as the UNQUOTED bare token `NA` (distinct from the
+    * quoted string "NA" — R's quote=TRUE quotes character values but
+    * never the NA token), numeric columns unquoted, quoted header.
+    *
+    * Spark's CSV writer cannot produce this combination (quoteAll
+    * quotes the null token; minimal quoting writes the string "NA"
+    * bare, colliding with NULL; its escape default is backslash, not
+    * doubling), so each record is formatted by a codegen'd projection
+    * — per-field quote/double/NA-fill, then one concat_ws — and
+    * written through a writer whose delimiter (U+0001) and quote
+    * (U+0000) can never occur, with the R header line smuggled in as
+    * the single column's name. Files stay one-per-partition with a
+    * header each — the reference's own chunk-then-combine layout
+    * (S6); deliberate deviation: R's default row.names=TRUE index
+    * column on the non-core tables is a numbering artifact, not data,
+    * and is not reproduced.
+    */
+  def exportCsv(df: DataFrame, outDir: String, table: String): Unit = {
+    val fields = df.schema.fields.map { f =>
+      val c = col(f.name)
+      f.dataType match {
+        case StringType =>
+          coalesce(concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")), lit("NA"))
+        case _ => coalesce(c.cast("string"), lit("NA"))
+      }
+    }
+    val header = df.schema.fieldNames.map(n => "\"" + n + "\"").mkString(",")
+    df.select(concat_ws(",", fields.toSeq: _*).as(header))
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("delimiter", "\u0001")
+      .option("quote", "\u0000")
+      .csv(s"$outDir/$table.csv")
+  }
 }
