@@ -156,14 +156,32 @@ class AdversarialXmlSpec extends SparkSpec {
         |  </IRS990></ReturnData>
         |</Return>""".stripMargin)
 
+    // 9. attribute-carrying scalar (real filings attach
+    // referenceDocumentId to amount elements) — the value must still
+    // extract; the attribute is metadata, not the payload
+    put("attr_public.xml",
+      """<?xml version="1.0"?>
+        |<Return returnVersion="2014v5.0" xmlns="http://www.irs.gov/efile">
+        |  <ReturnHeader>
+        |    <ReturnTypeCd>990</ReturnTypeCd>
+        |    <TaxPeriodEndDt>2014-12-31</TaxPeriodEndDt>
+        |    <Filer><EIN>400000010</EIN>
+        |      <BusinessName><BusinessNameLine1Txt>ATTR ORG</BusinessNameLine1Txt></BusinessName>
+        |    </Filer>
+        |  </ReturnHeader>
+        |  <ReturnData><IRS990>
+        |    <GrossReceiptsAmt referenceDocumentId="RD-001">1010</GrossReceiptsAmt>
+        |  </IRS990></ReturnData>
+        |</Return>""".stripMargin)
+
     val out = Pipeline.build(spark, dir.getPath, concordance = Nil)
     val core = out.core.collect().map(r =>
       r.getAs[String]("EIN") -> r).toMap
 
     // every quirk doc except the truncation lands in core
     assert(core.keySet == Set("400000001", "400000002", "400000003",
-      "400000004", "400000005", "400000007", "400000008", "400000009"),
-      core.keySet)
+      "400000004", "400000005", "400000007", "400000008", "400000009",
+      "400000010"), core.keySet)
     assert(out.failed.collect().map(_.getString(0)).exists(_.contains("truncated")))
 
     // prefixed + BOM + mixed + cdata extract their payloads
@@ -190,6 +208,10 @@ class AdversarialXmlSpec extends SparkSpec {
     // contrast: a doc WITHOUT the element at all stays null (R8)
     assert(core("400000001").getAs[String]("FORMORG") == null)
 
+    // attribute-carrying scalar: payload extracts, attribute ignored
+    assert(core("400000010").getAs[String]("GROSSRECEIPTS") == "1010",
+      s"attributed amount must extract its text payload, got ${core("400000010").getAs[String]("GROSSRECEIPTS")}")
+
     // duplicate-scalar policy: FIRST match (document order), not
     // Spark's default last-match — and the violation is logged
     assert(core.contains("400000004"), "first EIN must key the row")
@@ -203,7 +225,7 @@ class AdversarialXmlSpec extends SparkSpec {
 
     // the full curated core builds over the quirk corpus too
     val c238 = out.core238
-    assert(c238.count() == 8)
+    assert(c238.count() == 9)
     assert(c238.columns.contains("GROSSRECEIPTS"))
   }
 
