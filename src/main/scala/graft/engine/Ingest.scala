@@ -124,4 +124,21 @@ object Ingest {
     if (returns.columns.contains("_corrupt_record"))
       returns.filter(col("_corrupt_record").isNotNull).select(col("source_url"))
     else returns.limit(0).select(col("source_url"))
+
+  /** S5 completed to the reference's FAIL_LIST row shape
+    * (`build_efile_database_functions.R:5094-5098`): what the
+    * reference appends to FAIL_LIST.csv is
+    * `index[ index$URL %in% failed.urls, ]` — the INDEX ROWS of the
+    * failed documents, so retry tooling gets EIN / TaxPeriod /
+    * FormType / OrganizationName metadata, not bare paths. The
+    * quarantine records local file paths while the index records
+    * canonical URLs, so the join key is the ObjectId (E6) both
+    * basenames share. The quarantine side is a tiny fraction of the
+    * corpus by construction — broadcast it; the index never shuffles.
+    */
+  def failList(index: DataFrame, failed: DataFrame): DataFrame =
+    index.join(
+      broadcast(failed.select(
+        Extract.objectIdFromUrl(col("source_url")).as("__fail_oid")).distinct()),
+      Extract.objectIdFromUrl(col("URL")) === col("__fail_oid"), "left_semi")
 }
