@@ -43,5 +43,21 @@ class QuarantineVolumeSpec extends SparkSpec {
     assert(coreEins.contains(f"${100000000L + saltEvery}%09d"))      // clean neighbor
     // child + presence tables build only from clean parses
     assert(out.presence.count() == (n - salted).toLong)
+
+    // FAIL_LIST at volume: joining the quarantine back to a synthetic
+    // index returns exactly the salted docs' index rows (the
+    // reference's FAIL_LIST.csv shape), none of the clean ones
+    import spark.implicits._
+    val index = (0 until n).map { i =>
+      val ein = f"${100000000L + i}%09d"
+      (ein, "201412", "990", s"https://s3/${ein}_public.xml", s"ORG $i", ein)
+    }.toDF("EIN", "TaxPeriod", "FormType", "URL", "OrganizationName", "ObjectId")
+    val fl = Ingest.failList(index, out.failed)
+    val flEins = fl.select(col("EIN")).collect().map(_.getString(0)).toSet
+    val expectedEins = (0 until n).filter(i => i % saltEvery == saltEvery - 1)
+      .map(i => f"${100000000L + i}%09d").toSet
+    assert(flEins == expectedEins,
+      s"failList mismatch: extra=${flEins -- expectedEins} missing=${expectedEins -- flEins}")
+    assert(fl.columns.toSet == index.columns.toSet)
   }
 }
