@@ -164,4 +164,66 @@ class CheckpointRecoverySpec extends SparkSpec {
       .select(col("w.start").as("win_start"), col("n"), col("total"))
     assert(collect(oracle) == expected)
   }
+
+  test("COMPOSED pipeline (enrich -> session window -> keep-latest upsert) recovers from a kill") {
+    import spark.implicits._
+    // the ev112s production shape under fault injection: a broadcast
+    // dim enrich feeding a session-window aggregate feeding a
+    // keep-latest merge. The hard case compounds: user 10's session
+    // spans the kill (open RocksDB session state must restore), AND
+    // the merge is keep-latest rather than insert-only, so a replayed
+    // batch that misread the table version would resurrect a stale
+    // "latest" row rather than just double a count.
+    val rocksdb = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dim = Seq((10L, "A"), (20L, "B")).toDF("d_user", "segment")
+    val f0 = Seq((1L, ts(1), 10L, 1.0), (2L, ts(2), 10L, 1.0), (3L, ts(3), 20L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val f1 = Seq((4L, ts(9), 10L, 1.0), (5L, ts(30), 20L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val compose: DataFrame => DataFrame = src =>
+      src.withWatermark("ts", "5 minutes")
+        .join(broadcast(dim), col("user_id") === col("d_user"))
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"),
+          col("user_id"), col("segment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("segment"),
+          col("w.start").as("session_start"), col("n"))
+    // keep the LATEST session per user (flush users never join the dim,
+    // so no sink-side flush exclusion is even needed here)
+    val keepLatest = (current: Option[DataFrame], batch: DataFrame) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = current.map(_.unionByName(batch)).getOrElse(batch)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("session_start").desc)
+      all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val expectedSess = Set(
+      (10L, "A", ts(1), 3L),   // one session spanning the kill: events 1,2,4
+      (20L, "B", ts(30), 1L))  // the LATER of user 20's two sessions
+
+    val dir = "/tmp/graft_recovery_spec/composed"
+    val thrown = intercept[StreamingQueryException] {
+      StreamStage.runRecoverableUpsert(spark, "rec_comp", dir,
+        f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
+        failAtBatch = Some(1L), failAfterWrite = true,
+        extraConfs = rocksdb)(compose)(keepLatest)
+    }
+    assert(thrown.getMessage.contains("injected failure after writing batch 1"))
+    val resumed = StreamStage.runRecoverableUpsert(spark, "rec_comp", dir,
+      f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
+      resume = true, extraConfs = rocksdb)(compose)(keepLatest)
+    val got = resumed.select("user_id", "segment", "session_start", "n")
+      .as[(Long, String, Timestamp, Long)].collect().toSet
+    assert(got == expectedSess, s"recovered composed pipeline diverged: $got")
+
+    // uninterrupted twin must agree bit-for-bit
+    val clean = StreamStage.runRecoverableUpsert(spark, "rec_comp_clean",
+      "/tmp/graft_recovery_spec/composed_clean",
+      f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
+      extraConfs = rocksdb)(compose)(keepLatest)
+    val cleanGot = clean.select("user_id", "segment", "session_start", "n")
+      .as[(Long, String, Timestamp, Long)].collect().toSet
+    assert(cleanGot == got, s"clean=$cleanGot recovered=$got")
+  }
 }
