@@ -122,6 +122,10 @@ object EventStreams {
     * side is re-planned per micro-batch — which is why dimension
     * enrichment should always be stream-to-static, never a
     * stream-stream join that buffers the dimension as keyed state.
+    * Refresh caveat (DimSnapshotSpec): the static side's FILE LISTING
+    * snapshots at query start — appended dim files are invisible and
+    * an in-place overwrite fails the stream; refresh = restart onto
+    * the checkpoint (or a time-versioned dim via streamAsofEnrich).
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
                     streamKey: String, dimKey: String): DataFrame =
