@@ -101,6 +101,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.rangeJoin.enabled=false disables the rewrite") {
+    import spark.implicits._
+    val key = "spark.graft.rangeJoin.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val pts = Seq(1L -> 5L).toDF("pid", "v")
+      val ivs = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
+      val plan = pts.join(ivs.hint("merge"),
+          col("v") >= col("lo") && col("v") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_pb"), s"kill switch must stop the rewrite:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("joins with an equi conjunct are left alone") {
     import spark.implicits._
     val pts = Seq((1L, "a", 5L)).toDF("pid", "k", "v")
