@@ -69,6 +69,40 @@ class NativeAsofSpec extends SparkSpec {
     ), got.toString)
   }
 
+  test("duplicate right (key, time) rows never multiply left rows") {
+    import spark.implicits._
+    // As-of is a LOOKUP, not a relational join: even when the right side
+    // violates the documented unique-(key,time) contract, each left row
+    // must produce exactly ONE output row, carrying one of the duplicate
+    // payloads (which one is unspecified — the contract callers rely on
+    // is the row-count invariant).
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 70L), (3L, 10L, 85L)).toDF("id", "k", "t")
+    val r = Seq((10L, 80L, "a"), (10L, 80L, "b"), (10L, 80L, "c"), (10L, 60L, "z"))
+      .toDF("rk", "rt", "v")
+    val out = l.join(r, expr("graft_asof(k, rk, t, rt)"), "left")
+      .select(col("id"), col("v")).collect()
+    assert(out.length === 3, "one output row per left row, always")
+    val byId = out.map(row => row.getLong(0) -> Option(row.getString(1))).toMap
+    assert(Set("a", "b", "c").contains(byId(1L).get)) // latest <= 100 is one of the t=80 dups
+    assert(byId(2L) === Some("z"))                    // only t=60 is <= 70
+    assert(Set("a", "b", "c").contains(byId(3L).get)) // tie boundary: 80 <= 85
+  }
+
+  test("empty right side null-pads every left row; all-null right times ditto") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("id", "k", "t")
+    val empty = Seq.empty[(Long, Long, String)].toDF("rk", "rt", "v")
+    val out1 = l.join(empty, expr("graft_asof(k, rk, t, rt)"), "left")
+      .select(col("id"), col("v")).collect()
+    assert(out1.length === 2 && out1.forall(_.isNullAt(1)))
+    val nullTimes = Seq((java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("rk", "rt", "v")
+    val out2 = l.join(nullTimes, expr("graft_asof(k, rk, t, rt)"), "left")
+      .select(col("id"), col("v")).collect()
+    assert(out2.length === 2 && out2.forall(_.isNullAt(1)),
+      "null right times are unmatched state, not wildcard matches")
+  }
+
   test("string keys merge correctly across partitions") {
     import spark.implicits._
     val l = (1 to 200).map(i => (s"k${i % 7}", i.toLong, i)).toDF("k", "t", "id")
