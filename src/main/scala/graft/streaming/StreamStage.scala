@@ -197,7 +197,18 @@ object StreamStage {
                            extraConfs: Map[String, String] = Map.empty)
                           (transform: DataFrame => DataFrame)
                           (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
-    val inDir = ensureStaged(stageDir, bulk, flushes, reuseKey)
+    // resume MUST NOT touch the staged layout: ensureStaged without a
+    // matching reuse key wipes the whole stage dir — checkpoint and
+    // table versions included — which would turn "resume from the
+    // checkpoint" into a silent fresh replay (exactly the failure the
+    // recovery specs exist to rule out; they prove non-vacuity by
+    // deleting the bulk input file before resuming)
+    val inDir =
+      if (resume) {
+        val d = Paths.get(stageDir, "in")
+        require(Files.exists(d), s"resume=true but no staged input at $d")
+        d
+      } else ensureStaged(stageDir, bulk, flushes, reuseKey)
     val ckptDir = Paths.get(stageDir, s"ckpt_$name")
     val tblRoot = Paths.get(stageDir, s"tbl_$name")
     if (!resume) { deleteRecursively(ckptDir); deleteRecursively(tblRoot) }

@@ -83,6 +83,25 @@ class CheckpointRecoverySpec extends SparkSpec {
     events.filter(col("event_id") > 3), // batch 1 — the kill point
     flush(60), flush(120))              // advance watermark, then emit
 
+  /** Non-vacuity probe: delete the BULK input file after the kill, so a
+    * run that silently restarted from offset 0 instead of resuming the
+    * checkpoint CANNOT reproduce the expected output — batch 0's rows
+    * are only reachable through the restored state store (its windows
+    * are still unemitted at the kill: the watermark hasn't advanced).
+    * Returns the pre-resume mtime of offsets/0 so callers can assert
+    * the original offset log survived the resumed run untouched.
+    */
+  private def dropBulkFile(dir: String, name: String): java.nio.file.attribute.FileTime = {
+    val f0 = java.nio.file.Paths.get(dir, "in", "f0.parquet")
+    assert(java.nio.file.Files.deleteIfExists(f0), s"expected staged bulk at $f0")
+    java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, s"ckpt_$name", "offsets", "0"))
+  }
+
+  private def offsets0Mtime(dir: String, name: String): java.nio.file.attribute.FileTime =
+    java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, s"ckpt_$name", "offsets", "0"))
+
   test("kill before the sink write, resume from checkpoint") {
     val dir = "/tmp/graft_recovery_spec/before"
     val thrown = intercept[StreamingQueryException] {
@@ -91,10 +110,13 @@ class CheckpointRecoverySpec extends SparkSpec {
         failAtBatch = Some(1L))(transform)(insertOnly)
     }
     assert(thrown.getMessage.contains("injected failure before batch 1"))
+    val mtime0 = dropBulkFile(dir, "rec_before")
     val resumed = StreamStage.runRecoverableUpsert(spark, "rec_before", dir,
       bulk, deltas, shufflePartitions = Some(2),
       resume = true)(transform)(insertOnly)
     assert(collect(resumed) == expected)
+    assert(offsets0Mtime(dir, "rec_before") == mtime0,
+      "resume rewrote the pre-kill offset log — that's a fresh replay, not recovery")
   }
 
   test("kill after the sink write, resume replays idempotently") {
@@ -108,11 +130,14 @@ class CheckpointRecoverySpec extends SparkSpec {
     // v2 exists on disk; the commit log says batch 1 never happened
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "tbl_rec_after", "v2")))
+    val mtime0 = dropBulkFile(dir, "rec_after")
     val resumed = StreamStage.runRecoverableUpsert(spark, "rec_after", dir,
       bulk, deltas, shufflePartitions = Some(2),
       resume = true)(transform)(insertOnly)
     // insert-only merge: any double-application would double a count
     assert(collect(resumed) == expected)
+    assert(offsets0Mtime(dir, "rec_after") == mtime0,
+      "resume rewrote the pre-kill offset log — that's a fresh replay, not recovery")
   }
 
   test("session-window state restores across a kill under the RocksDB provider") {
@@ -144,12 +169,49 @@ class CheckpointRecoverySpec extends SparkSpec {
         extraConfs = rocksdb)(sessionize)(sessMerge)
     }
     assert(thrown.getMessage.contains("injected failure after writing batch 1"))
+    dropBulkFile(dir, "rec_sess") // user 10's partial session now lives ONLY in RocksDB state
     val resumed = StreamStage.runRecoverableUpsert(spark, "rec_sess", dir,
       f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
       resume = true, extraConfs = rocksdb)(sessionize)(sessMerge)
     val got = resumed.select("win_start", "user_id", "n")
       .as[(Timestamp, Long, Long)].collect().toSet
     assert(got == Set((ts(1), 10L, 2L), (ts(2), 20L, 1L), (ts(30), 20L, 1L)))
+  }
+
+  test("resume under a DIFFERENT session shuffle-partition count keeps the checkpointed layout") {
+    // Operational pin: the state-store partition count is fixed at the
+    // FIRST run (Spark records spark.sql.shuffle.partitions in the
+    // checkpoint's offset log and restores it for stateful queries).
+    // Resuming with a different session setting must neither rescale
+    // state (which would orphan keys) nor change the output — the
+    // "bigger cluster after a restart" scenario. Rescaling state
+    // requires a NEW checkpoint (a fresh backfill), never a conf edit.
+    val dir = "/tmp/graft_recovery_spec/rescale"
+    val thrown = intercept[StreamingQueryException] {
+      StreamStage.runRecoverableUpsert(spark, "rec_rescale", dir,
+        bulk, deltas, shufflePartitions = Some(2),
+        failAtBatch = Some(1L), failAfterWrite = true)(transform)(insertOnly)
+    }
+    assert(thrown.getMessage.contains("injected failure after writing batch 1"))
+    dropBulkFile(dir, "rec_rescale")
+    val resumed = StreamStage.runRecoverableUpsert(spark, "rec_rescale", dir,
+      bulk, deltas, shufflePartitions = Some(7), // ignored: checkpoint wins
+      resume = true)(transform)(insertOnly)
+    assert(collect(resumed) == expected)
+    // the state directory layout proves the checkpointed count was kept:
+    // state/0/<partition> directories exist for 0 and 1 only, not 2..6
+    val stateOp = java.nio.file.Paths.get(dir, "ckpt_rec_rescale", "state", "0")
+    val parts = java.nio.file.Files.list(stateOp).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted.toSeq
+    assert(parts == Seq(0, 1), s"state partitions after resume-at-7: $parts")
+    // and the offset log's recorded conf is the ORIGINAL 2, end to end
+    val lastOffsets = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "ckpt_rec_rescale", "offsets"))
+      .toArray.map(_.toString).filter(p => p.substring(p.lastIndexOf('/') + 1).forall(_.isDigit))
+      .sorted.last
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(lastOffsets))
+    assert(txt.contains("\"spark.sql.shuffle.partitions\":\"2\""), txt)
   }
 
   test("uninterrupted run matches the recovered runs and the batch oracle") {
@@ -210,6 +272,7 @@ class CheckpointRecoverySpec extends SparkSpec {
         extraConfs = rocksdb)(compose)(keepLatest)
     }
     assert(thrown.getMessage.contains("injected failure after writing batch 1"))
+    dropBulkFile(dir, "rec_comp") // the spanning session is only reachable via restored state
     val resumed = StreamStage.runRecoverableUpsert(spark, "rec_comp", dir,
       f0, Seq(f1, flush(120), flush(240)), shufflePartitions = Some(2),
       resume = true, extraConfs = rocksdb)(compose)(keepLatest)
