@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, HintInfo, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Join => LogicalJoin, Filter => LogicalFilter, Range => LogicalRange}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
@@ -27,11 +28,17 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *    per-shard offset tables, per-nation/per-day grains) or a Limit.
   *    A global window directly over a raw scan is the scale-killer
   *    this repo's ShardedRank exists to avoid.
-  *  - BroadcastExchange of a RAW fact-table scan (lineitem, orders,
-  *    events, documents, embeddings — tables that scale with the
-  *    corpus) with no aggregate/limit/selective-join below: fails.
-  *    Broadcasting nation/region/supplier/part/customer dims or any
-  *    aggregated/limited derivation is the intended pattern.
+  *  - An explicit BROADCAST join HINT on an unbounded subtree of a
+  *    RAW fact-table scan (lineitem, orders, events, documents,
+  *    embeddings — tables that scale with the corpus): fails. Checked
+  *    on the OPTIMIZED LOGICAL plan's JoinHint, not on physical
+  *    BroadcastExchange nodes — at test scale the optimizer
+  *    auto-broadcasts tiny fact scans from size stats, which is
+  *    correct and self-reverting at 100 TB (stats grow, the plan
+  *    flips to a shuffle join); only a HINT pins the broadcast at
+  *    every scale. Hinting nation/region/supplier/part/customer dims
+  *    or any aggregated/limited/key-capped derivation is the
+  *    intended pattern.
   *
   * Output: one line per violation (query, rule, node), a per-rule
   * summary, and a JSON dump for PLANS.md's appendix. Streaming-staged
@@ -63,9 +70,10 @@ object PlanSweep {
       val wanted = (only.isEmpty || only(name)) && skip.findFirstIn(name).isEmpty
       if (wanted) {
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          val qe = fn(spark, sfDir).queryExecution
           audited += 1
-          violations ++= audit(name, plan)
+          violations ++= audit(name, qe.executedPlan)
+          violations ++= auditHints(name, qe.optimizedPlan)
           spark.catalog.clearCache()
         } catch {
           case e: Throwable => errors += name -> String.valueOf(e.getMessage).take(120)
@@ -108,12 +116,55 @@ object PlanSweep {
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
         if (!bounded(w.child))
           out += ((name, "global_window_raw_grain", w.simpleStringWithNodeId()))
-      case b: BroadcastExchangeExec =>
-        if (!bounded(b.child) && rawFactScan(b.child))
-          out += ((name, "broadcast_raw_fact_scan", b.child.simpleStringWithNodeId()))
       case _ => ()
     }
     out.toSeq
+  }
+
+  /** Broadcast-HINT violations on the optimized logical plan: a
+    * `broadcast(...)` hint pinning an unbounded raw-fact subtree.
+    */
+  def auditHints(name: String, plan: LogicalPlan): Seq[(String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def check(hint: Option[HintInfo], side: LogicalPlan, label: String): Unit =
+      if (hint.exists(_.strategy.contains(BROADCAST)) &&
+          !logicalBounded(side) && logicalRawFact(side))
+        out += ((name, "hinted_broadcast_raw_fact",
+          s"$label :: ${side.treeString.linesIterator.take(4).mkString(" | ").take(300)}"))
+    plan.foreach {
+      case j: LogicalJoin =>
+        check(j.hint.leftHint, j.left, "left")
+        check(j.hint.rightHint, j.right, "right")
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** Logical twin of [[bounded]]. */
+  private def logicalBounded(p: LogicalPlan): Boolean = {
+    var found = false
+    p.foreach {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation |
+           _: OneRowRelation | _: LogicalRange => found = true
+      case f: LogicalFilter if keyRangeBounded(f.condition) => found = true
+      case _ => ()
+    }
+    found
+  }
+
+  /** The logical subtree reads one of the corpus-scaling fact tables. */
+  private def logicalRawFact(p: LogicalPlan): Boolean = {
+    var found = false
+    p.foreach {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          if (fs.location.rootPaths.exists(rp =>
+            factTables.exists(t => rp.toString.contains(s"$t.parquet")))) found = true
+        case _ => ()
+      }
+      case _ => ()
+    }
+    found
   }
 
   /** Subtree row count is capped by something other than the corpus
@@ -168,15 +219,4 @@ object PlanSweep {
     }
   }
 
-  /** The subtree scans one of the corpus-scaling fact tables. */
-  private def rawFactScan(p: SparkPlan): Boolean = {
-    var found = false
-    p.foreach { n =>
-      if (n.nodeName.contains("Scan")) {
-        val s = n.verboseString(2)
-        if (factTables.exists(t => s.contains(s"$t.parquet"))) found = true
-      }
-    }
-    found
-  }
 }

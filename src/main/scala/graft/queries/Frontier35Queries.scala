@@ -104,11 +104,14 @@ object Frontier35Queries {
       val knn = VectorOps.knnBrute(
         emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10), k = 5)
       val labels = emb.select(col("vec_id"), col("label"))
-      val topk = knn
+      // query-side labels inherit the key-capped vec_id < 10 bound;
+      // the neighbor side is corpus-sized, so the BOUNDED accumulating
+      // frame (<= queries*k rows) carries the broadcast hint instead
+      val topk = broadcast(knn
         .join(broadcast(labels.select(col("vec_id").as("query_id"),
-          col("label").as("q_label"))), "query_id")
-        .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
-          col("label").as("n_label"))), "neighbor_id")
+          col("label").as("q_label"))), "query_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
         .select(col("query_id"),
           when(col("q_label") === col("n_label"), 1).otherwise(0).as("rel"),
           col("rnk"))

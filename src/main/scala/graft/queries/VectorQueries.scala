@@ -369,7 +369,10 @@ object VectorQueries {
         emb.filter(col("vec_id") < 10),
         emb.filter(col("vec_id") >= 10), k = 5)
       val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
-      val votes = knn.join(broadcast(labels), "neighbor_id")
+      // broadcast the BOUNDED side: knn is <= queries*k rows at any
+      // corpus size, while labels is corpus-sized (hinting labels was
+      // the v24 bug class — caught by PlanSweep's hint rule)
+      val votes = broadcast(knn).join(labels, "neighbor_id")
         .groupBy(col("query_id"), col("label"))
         .agg(count(lit(1)).as("n_votes"))
       val vr = Window.partitionBy(col("query_id"))
