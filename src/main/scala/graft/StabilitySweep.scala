@@ -47,25 +47,9 @@ object StabilitySweep {
       val wanted = (only.isEmpty || only(name)) && skip.findFirstIn(name).isEmpty
       if (wanted) {
         try {
-          val a = canon(fn(spark, sfDir))
-          spark.catalog.clearCache()
-          spark.conf.set("spark.sql.shuffle.partitions", "7")
-          spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
-          val b =
-            try canon(fn(spark, sfDir))
-            finally {
-              spark.conf.set("spark.sql.shuffle.partitions", "32")
-              spark.conf.unset("spark.sql.files.maxPartitionBytes")
-              spark.catalog.clearCache()
-            }
+          val d = check(spark, fn, sfDir)
           audited += 1
-          if (a != b) {
-            val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y }
-            val detail =
-              if (a.length != b.length) s"rows ${a.length} vs ${b.length}"
-              else s"row $firstDiff: ${a(firstDiff).take(120)} vs ${b(firstDiff).take(120)}"
-            diffs += name -> detail
-          }
+          d.foreach(detail => diffs += name -> detail)
         } catch {
           case e: Throwable => errors += name -> String.valueOf(e.getMessage).take(120)
         }
@@ -75,6 +59,35 @@ object StabilitySweep {
     diffs.foreach { case (q, d) => println(s"[stability] DIFF $q :: $d") }
     errors.foreach { case (q, m) => println(s"[stability] ERROR $q :: $m") }
     spark.stop()
+  }
+
+  /** One query under both layouts; Some(detail) when the two result
+    * sets differ. Public so StabilitySweepDetectorSpec can prove the
+    * harness DETECTS layout dependence (a conf that silently stopped
+    * applying would make the whole sweep vacuously green).
+    */
+  def check(spark: SparkSession,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            sfDir: String): Option[String] = {
+    val a = canon(fn(spark, sfDir))
+    spark.catalog.clearCache()
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    val b =
+      try canon(fn(spark, sfDir))
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.catalog.clearCache()
+      }
+    if (a == b) None
+    else {
+      val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y }
+      Some(
+        if (a.length != b.length) s"rows ${a.length} vs ${b.length}"
+        else s"row $firstDiff: ${a(firstDiff).take(120)} vs ${b(firstDiff).take(120)}")
+    }
   }
 
   /** Canonical sorted row-string form; Double/Float stringify uniquely
