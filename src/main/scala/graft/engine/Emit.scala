@@ -17,8 +17,24 @@ object Emit {
                  partitionCols: Seq[String] = Seq("TAXYR")): Unit = {
     val w = df.write.mode("overwrite")
     val parts = partitionCols.filter(df.columns.contains)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .parquet(s"$outDir/$table")
+    val dir = s"$outDir/$table"
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
+    // a partitionBy write of an EMPTY frame emits no parquet footers
+    // at all (only _SUCCESS), leaving a directory downstream reads
+    // cannot infer a schema from — and an empty year partition is a
+    // routine state, not an error. Detect it by listing (driver-side,
+    // no extra job) and write one schema-bearing empty file instead;
+    // the partition column survives as a regular (empty) column.
+    if (parts.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      def hasParquet(d: org.apache.hadoop.fs.Path): Boolean =
+        fs.listStatus(d).exists { st =>
+          if (st.isDirectory) hasParquet(st.getPath)
+          else st.getPath.getName.endsWith(".parquet")
+        }
+      if (!hasParquet(p)) df.limit(0).write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** CSV parity export in the reference's exact `write.csv` byte
