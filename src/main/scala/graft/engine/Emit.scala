@@ -25,16 +25,22 @@ object Emit {
     // routine state, not an error. Detect it by listing (driver-side,
     // no extra job) and write one schema-bearing empty file instead;
     // the partition column survives as a regular (empty) column.
-    if (parts.nonEmpty) {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      def hasParquet(d: org.apache.hadoop.fs.Path): Boolean =
-        fs.listStatus(d).exists { st =>
-          if (st.isDirectory) hasParquet(st.getPath)
-          else st.getPath.getName.endsWith(".parquet")
-        }
-      if (!hasParquet(p)) df.limit(0).write.mode("overwrite").parquet(dir)
-    }
+    if (parts.nonEmpty && !hasFileWith(df, dir, ".parquet"))
+      df.limit(0).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Driver-side recursive listing: any file under `dir` with the
+    * suffix (Hadoop FS API, so it holds on HDFS/S3, not just local).
+    */
+  private def hasFileWith(df: DataFrame, dir: String, suffix: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    def has(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        if (st.isDirectory) has(st.getPath)
+        else st.getPath.getName.endsWith(suffix)
+      }
+    has(p)
   }
 
   /** CSV parity export in the reference's exact `write.csv` byte
@@ -73,5 +79,15 @@ object Emit {
       .option("delimiter", "\u0001")
       .option("quote", "\u0000")
       .csv(s"$outDir/$table.csv")
+    // R's write.csv of an empty frame still writes the header line;
+    // Spark's writer emits no part file for an empty frame, so write
+    // the header-only file directly (same byte format)
+    if (!hasFileWith(df, s"$outDir/$table.csv", ".csv")) {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$table.csv/part-00000-empty.csv")
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      out.write((header + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
   }
 }

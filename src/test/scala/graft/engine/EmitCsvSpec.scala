@@ -59,4 +59,16 @@ class EmitCsvSpec extends SparkSpec {
     }
     assert(all.toSet == (1 to 8).map(i => s""""$i","ORG $i"""").toSet)
   }
+
+  test("exportCsv of an EMPTY table writes the header line, like R write.csv") {
+    val df = Seq.empty[(String, String)].toDF("EIN", "NAME")
+    val dir = java.nio.file.Files.createTempDirectory("graft-emit-csv-e").toFile.getPath
+    Emit.exportCsv(df, dir, "empty")
+    val parts = new java.io.File(s"$dir/empty.csv").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(parts.nonEmpty, "an empty table must still produce a header file")
+    val lines = parts.toVector.flatMap(p =>
+      scala.io.Source.fromFile(p, "UTF-8").getLines().toVector)
+    assert(lines == Vector("\"EIN\",\"NAME\""), lines.mkString("|"))
+  }
 }
