@@ -301,8 +301,13 @@ class EventStreamsSpec extends SparkSpec {
     land(3, 100, post2013 = false) // TAXYR 2011/2012 era spellings
     Refresh.incrementalRawStaging(spark, landing.getPath, schema, raw.getPath, ckpt.getPath)
 
+    // a refresh tick with NOTHING new landed is a no-op, not an error
+    // (production fires on a timer, not on arrival) — and must neither
+    // duplicate already-staged rows nor disturb the checkpoint
+    Refresh.incrementalRawStaging(spark, landing.getPath, schema, raw.getPath, ckpt.getPath)
+
     val rawDf = spark.read.parquet(raw.getPath)
-    assert(rawDf.count() == 7, "second run appends only the 3 new filings")
+    assert(rawDf.count() == 7, "second run appends only the 3 new filings; empty tick adds none")
     // year partitions exist on disk (partition pruning unit)
     val parts = raw.listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("TAXYR="))
     assert(parts.length >= 2, s"expected >=2 TAXYR partitions, got ${parts.mkString(",")}")
