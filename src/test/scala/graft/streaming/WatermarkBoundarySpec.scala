@@ -152,4 +152,38 @@ class WatermarkBoundarySpec extends SparkSpec {
         s"expected A twice (horizon-evicted) and B once; got $got")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark EXACT ticks: eviction INCLUSIVE (expiry <= wm), admission STRICT (ts > wm)") {
+    // The seventh row of the polarity table, measured at exact
+    // equality: with delay 600, key A at t=0 has dedup-state expiry
+    // 600; driving the watermark to EXACTLY 600 evicts it (a recurrence
+    // at t=700 re-emits), so eviction is INCLUSIVE — the same side as
+    // windowed-agg eviction and tWS timers. A FRESH key arriving at
+    // ts == wm exactly is late-DROPPED before the operator sees it, so
+    // admission is STRICT — the same side as stream-stream join
+    // admission. The two rules are again one policy seen from both
+    // sides: state with expiry <= wm is safe to evict precisely
+    // because any duplicate that should have matched it
+    // (ts <= first + delay = expiry <= wm) is late-dropped first.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "600 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select("k")
+      .writeStream.format("memory").queryName("wmb_dedup_tick")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(0), "A")); q.processAllAvailable()    // state expiry = 600
+      mem.addData((ts(1200), "D")); q.processAllAvailable() // wm -> 1200 - 600 = 600 exactly
+      // E at ts == wm (fresh key): admission probe
+      // A at ts = 700 > wm: eviction probe (expiry 600 == wm)
+      mem.addData((ts(600), "E"), (ts(700), "A")); q.processAllAvailable()
+      val got = spark.table("wmb_dedup_tick").as[String].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == Map("A" -> 2, "D" -> 1),
+        s"expected A re-emitted (inclusive eviction) and E late-dropped (strict admission); got $got")
+    } finally q.stop()
+  }
 }
