@@ -679,11 +679,63 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
 
-    // ---- MinHash + LSH near-dup (banding) — not SQL-expressible ---------
-    QueryDef.rowsOnly("d3_minhash_lsh") { (s, d) =>
+    // ---- MinHash + LSH near-dup (banding) — UNDER THE HASH GATE ---------
+    // The banding is recall-limited, so (unlike d12's exact prefix
+    // join) the oracle must reproduce the signature family bit-for-bit
+    // — which is why d3 runs the PORTABLE family (md5-derived shingle
+    // ids mod 2^31−1, LCG-affine rows, modular band fold: pure BIGINT
+    // on both engines; see MinHashLSH scaladoc). Same move that put
+    // d13's sign-LSH under the gate. The DuckDB twin recomputes
+    // signatures, bands, buckets, the symmetric length prefilter and
+    // the exact-Jaccard verify, and must match rows, schema and hash.
+    QueryDef.sql(
+      "d3_minhash_lsh",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(sh,
+        |      v -> ('0x' || substr(md5(v), 1, 15))::BIGINT % 2147483647)) AS xs
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, len(xs) AS n,
+        |    list_transform(range(0, 32), i ->
+        |      list_min(list_transform(xs, x ->
+        |        (x * ((1664525 * (i + 1) + 1013904223) % 2147483647)
+        |           + ((22695477 * (i + 1) + 1) % 2147483647)) % 2147483647))) AS sg
+        |  FROM x),
+        |b AS (
+        |  SELECT doc_id, n, j AS band_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), sg[j*4+1 : j*4+4]),
+        |      (acc, v) -> (acc * 1048573 + v) % 2147483647) AS band_hash
+        |  FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM b a JOIN b c ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+        |    AND a.doc_id < c.doc_id
+        |    AND c.n >= ceil(a.n * 0.35) AND a.n >= ceil(c.n * 0.35))
+        |SELECT p.id_a, p.id_b,
+        |  CAST(len(list_intersect(xa.xs, xb.xs)) AS DOUBLE) /
+        |  CAST(len(xa.xs) + len(xb.xs) - len(list_intersect(xa.xs, xb.xs)) AS DOUBLE)
+        |    AS jaccard
+        |FROM cand p
+        |JOIN x xa ON xa.doc_id = p.id_a
+        |JOIN x xb ON xb.doc_id = p.id_b
+        |WHERE CAST(len(list_intersect(xa.xs, xb.xs)) AS DOUBLE) /
+        |  CAST(len(xa.xs) + len(xb.xs) - len(list_intersect(xa.xs, xb.xs)) AS DOUBLE)
+        |    >= 0.35""".stripMargin) { (s, d) =>
       graft.operators.MinHashLSH.nearDuplicates(
         Tables.documents(s, d), textCol = "text", idCol = "doc_id",
-        numHashes = 32, bands = 8, shingleSize = 3, jaccardThreshold = 0.35)
+        numHashes = 32, bands = 8, shingleSize = 3, jaccardThreshold = 0.35,
+        portable = true)
     },
 
     // ---- SimHash near-dup (64-bit, banded hamming) — not SQL-expressible

@@ -103,5 +103,16 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(exact), s"false positives: ${found.diff(exact)}")
     val recall = found.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall below bound (found ${found.size}/${exact.size})")
+
+    // the PORTABLE family (the one the d3 oracle reproduces in SQL)
+    // must meet the same quality bar — it changes the hash family, not
+    // the min-wise estimator
+    val foundP = MinHashLSH.nearDuplicates(corpus.toDF("doc_id", "text"), "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3, jaccardThreshold = threshold,
+        portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(foundP.subsetOf(exact), s"portable false positives: ${foundP.diff(exact)}")
+    val recallP = foundP.intersect(exact).size.toDouble / exact.size
+    assert(recallP >= 0.8, s"portable recall $recallP below bound")
   }
 }
