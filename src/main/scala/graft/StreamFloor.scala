@@ -20,6 +20,15 @@ object StreamFloor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // per-batch timing breakdown (batchId -> durationMs map) when FLOOR_PROGRESS=1
+    if (sys.env.get("FLOOR_PROGRESS").contains("1"))
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          println(s"[floor-batch] id=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+            new java.util.TreeMap[String, java.lang.Long](e.progress.durationMs))
+      })
     Warmup.run(spark, "/root/testdata/sf0.001")
     val bulk = Seq(
       (java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1L),

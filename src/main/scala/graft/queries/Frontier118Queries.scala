@@ -40,8 +40,8 @@ object Frontier118Queries {
       val src = new java.io.File(d, "events.parquet")
       val key = s"lb:$d:${src.lastModified}:${src.length}"
       StreamStage.run(s, "ev102s_out",
-        s"/tmp/graft_stream_stage/lb_${new java.io.File(d).getName}",
-        bulk, Seq(rest), shufflePartitions = Some(8), reuseKey = Some(key),
+        s"${graft.streaming.StreamStage.stageRoot}/lb_${new java.io.File(d).getName}",
+        bulk, Seq(rest), shufflePartitions = Some(graft.streaming.StreamStage.benchParts), reuseKey = Some(key),
         outputMode = "complete") { stream =>
         stream.groupBy(col("user_id"))
           .agg(count(lit(1)).cast("long").as("n_events"),

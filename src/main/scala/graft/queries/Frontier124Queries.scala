@@ -273,8 +273,8 @@ object Frontier124Queries {
       val src = new java.io.File(d, "events.parquet")
       val key = s"scd2:$d:${src.lastModified}:${src.length}"
       val enriched = StreamStage.run(s, "ev109s_out",
-        s"/tmp/graft_stream_stage/scd2_${new java.io.File(d).getName}",
-        bulk, Seq(rest), shufflePartitions = Some(8), reuseKey = Some(key)) {
+        s"${graft.streaming.StreamStage.stageRoot}/scd2_${new java.io.File(d).getName}",
+        bulk, Seq(rest), shufflePartitions = Some(graft.streaming.StreamStage.benchParts), reuseKey = Some(key)) {
         stream =>
           stream.filter(col("event_type") === "purchase").as("e")
             .join(broadcast(dim).as("dd"),

@@ -78,8 +78,14 @@ object Frontier127Queries {
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
       val codes = expr("transform(filter(split(substring(text, 1, 128), '')," +
         " c -> length(c) > 0), c -> cast(ascii(c) as decimal(38,0)))")
+      // r5 opt: the flux window below needs hashpartitioning(asset_id)
+      // anyway — move that exchange BELOW the scan so the Goertzel
+      // folds (interpreted HOFs, the expensive stage) run across
+      // cores instead of inside the single-row-group scan task. Same
+      // exchange count; the heavy projection changes sides.
       val a = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id").as("asset_id"), codes.as("codes"))
         .filter(size(col("codes")) >= 32)
       val fr = a
@@ -106,10 +112,14 @@ object Frontier127Queries {
           + greatest(col("e2") - lag(col("e2"), 1, null).over(wA), lit(0L)))
           .as("fl0"))
         .withColumn("fl", coalesce(col("fl0"), lit(0L)))
-      val agg = flux.groupBy(col("asset_id"))
-        .agg(count(lit(1)).cast("long").as("n_frames"),
-          sum(col("fl")).cast("long").as("total_flux"))
-      flux.join(agg, Seq("asset_id"))
+      // r5 opt: per-asset totals as unordered windows over the SAME
+      // partitioning as the flux lag window — the old groupBy+self-join
+      // re-evaluated the whole Goertzel chain on both join sides (two
+      // scans, two Generates in the plan) and added a join exchange.
+      val wAsset = Window.partitionBy(col("asset_id"))
+      flux
+        .withColumn("n_frames", count(lit(1)).over(wAsset).cast("long"))
+        .withColumn("total_flux", sum(col("fl")).over(wAsset).cast("long"))
         .groupBy(col("asset_id"), col("n_frames"), col("total_flux"))
         .agg(count(when(col("fl") * 2 * col("n_frames")
           > lit(3) * col("total_flux"), 1)).cast("long").as("n_onsets"),

@@ -42,20 +42,16 @@ object StreamingQueries {
     StreamStage.run(spark, name,
       s"$stageRoot/${new java.io.File(dir).getName}", bulk,
       Seq(flushRow(spark, -2L, "2100-02-01 00:00:00")),
-      shufflePartitions = Some(8), reuseKey = Some(key),
+      shufflePartitions = Some(StreamStage.benchParts), reuseKey = Some(key),
       extraConfs = extraConfs)(transform)
   }
 
-  // GRAFT_STREAM_FAST=1 puts the staged source + checkpoints on
-  // tmpfs (/dev/shm): the per-query fixed cost of a staged streaming
-  // run is dominated by WAL/state-store commit fsyncs, which a bench
-  // host pays once per streaming query. A cluster run keeps
-  // checkpoints on durable storage — this knob only moves BENCH
-  // scaffolding, the streaming code is identical.
-  private def stageRoot: String =
-    if (sys.env.get("GRAFT_STREAM_FAST").contains("1") &&
-        new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_stream_stage"
-    else "/tmp/graft_stream_stage"
+  // Scaffolding location + state partition count are bench-local
+  // deployment defaults, centralized in StreamStage (r5 optimization):
+  // tmpfs scaffolding unless GRAFT_STREAM_DURABLE=1, GRAFT_STREAM_PARTS
+  // state partitions (default 1; outputs are spec-pinned bit-identical
+  // across partition counts).
+  private def stageRoot: String = StreamStage.stageRoot
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -322,7 +318,7 @@ object StreamingQueries {
       StreamStage.runTransformUpsert(s, "ev112s_tbl",
           s"$stageRoot/${new java.io.File(d).getName}", bulk,
           Seq(flushRow(s, -2L, "2100-02-01 00:00:00")),
-          shufflePartitions = Some(8), reuseKey = Some(key)) { stream =>
+          shufflePartitions = Some(StreamStage.benchParts), reuseKey = Some(key)) { stream =>
         stream.withWatermark("ts", "1 hour")
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .groupBy(session_window(col("ts"), "30 minutes").as("w"),

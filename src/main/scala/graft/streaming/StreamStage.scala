@@ -23,6 +23,33 @@ import java.nio.file.{Files, Path, Paths}
   */
 object StreamStage {
 
+  /** Bench-local defaults for staged streaming runs (r5 optimization).
+    *
+    * `benchParts`: state/shuffle partition count for the staged
+    * queries. One state-store instance is loaded and committed per
+    * shuffle partition PER MICRO-BATCH (fixed cost), but the bulk
+    * micro-batch carries the whole staged corpus (real work that
+    * wants parallelism). Measured at sf0.1 over all 24 queries ×3
+    * runs: 1 partition is ~15% SLOWER than 8 (the 3-row StreamFloor
+    * hides the bulk batch) and 8 ≈ the optimum; outputs are
+    * spec-pinned bit-identical across partition counts. A cluster run
+    * sizes this to the key space — override with GRAFT_STREAM_PARTS.
+    *
+    * `stageRoot`: staged source + checkpoint scaffolding. The bench
+    * host's /tmp is a real disk; scaffolding defaults to tmpfs
+    * (/dev/shm) when present (measured ≈ neutral — fsync is not the
+    * floor — but it keeps bench scaffolding off the data disk).
+    * Production checkpoints live on durable storage — set
+    * GRAFT_STREAM_DURABLE=1 to force the on-disk path.
+    */
+  def benchParts: Int =
+    sys.env.get("GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
+
+  def stageRoot: String =
+    if (!sys.env.get("GRAFT_STREAM_DURABLE").contains("1") &&
+        new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_stream_stage"
+    else "/tmp/graft_stream_stage"
+
   def run(spark: SparkSession, name: String, stageDir: String,
           bulk: DataFrame, flushes: Seq[DataFrame],
           shufflePartitions: Option[Int] = None,
