@@ -57,9 +57,16 @@ object OptProbe {
     val prof = new Prof
     spark.sparkContext.addSparkListener(prof)
     if (outDir != "-") java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // GRAFT_OPT_ALTCONF="k=v": set k=v on EVEN runs (0-based odd index),
+    // default on odd — interleaved A/B immune to host-load waves.
+    val altConf = sys.env.get("GRAFT_OPT_ALTCONF").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to runs).map { i =>
+        altConf.foreach { case (k, v) =>
+          if (i % 2 == 0) spark.conf.set(k, v) else spark.conf.unset(k)
+        }
         if (i == runs) { Thread.sleep(150); prof.reset() }
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

@@ -104,6 +104,22 @@ object IvfIndex {
     model
   }
 
+  /** Bench-layout guard (r5 optimization): a single-file / one-row-group
+    * corpus scans as ONE task, so the per-vector projections downstream
+    * (cell assignment, PQ codes, pairwise cosines after a broadcast
+    * join) serialize on one core. When the scan has no parallelism,
+    * spread the frame across the default parallelism by vec_id; inputs
+    * that already scan parallel (any production layout) skip the extra
+    * exchange entirely. Never applied to the `fit` input — the k-means
+    * fold is partition-order-sensitive and must see the corpus in its
+    * at-rest layout.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions * 2 >= p) df
+    else df.repartition(p, col("vec_id"))
+  }
+
   private def embOf(corpus: DataFrame): DataFrame =
     corpus.select(col("vec_id").cast("long").as("vec_id"),
       VectorOps.toDouble(col("embedding")).as("emb"))
@@ -131,7 +147,7 @@ object IvfIndex {
 
     // corpus → cells: one projection, then the join below shuffles on
     // the cell id (at rest this is the partition key)
-    val cells = emb.select(
+    val cells = spread(emb).select(
         nearestExpr(col("emb"), model).as("centroid_id"),
         col("vec_id").as("neighbor_id"), col("emb").as("n_emb"))
       .withColumn("n_nrm", VectorOps.l2Norm(col("n_emb")))
@@ -292,7 +308,7 @@ object IvfIndex {
       array_min(distStructs(slice(col("emb"), s * sub + 1, sub), books(s)))
         .getField("cid").cast("int").as(s"code_$s")
     }
-    val index = emb.select(
+    val index = spread(emb).select(
       Seq(nearestExpr(col("emb"), coarse).as("cell"),
         col("vec_id").as("neighbor_id")) ++ codeCols: _*)
 
@@ -349,7 +365,7 @@ object IvfIndex {
                       numCells: Int = 16, iters: Int = 2): DataFrame = {
     val emb = embOf(corpus)
     val model = fit(emb, numCells, iters)
-    val cells = emb.select(
+    val cells = spread(emb).select(
         nearestExpr(col("emb"), model).as("cell"),
         col("vec_id"), col("emb"))
       .withColumn("nrm", VectorOps.l2Norm(col("emb")))

@@ -217,11 +217,20 @@ object Frontier32Queries {
         |    ON t.neighbor_id = e.vec_id)
         |SELECT k AS n_times_neighbor, CAST(count(*) AS BIGINT) AS n_vectors
         |FROM occ GROUP BY 1""".stripMargin) { (s, d) =>
+      // r5 opt: the top-3 window below needs hashpartitioning(query_id)
+      // anyway — pre-partition the probe side by vec_id (the same key
+      // through the alias) so the interpreted dot-product fold runs
+      // across cores instead of inside the single-row-group scan task.
+      // Same exchange count; the heavy projection changes sides.
       val q = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
             .as("qv"))
-      val b = q.select(col("label"), col("vec_id").as("neighbor_id"), col("qv").as("bqv"))
+      val b = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id").as("neighbor_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
+            .as("bqv"))
       val dots = q.join(b, Seq("label"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .select(col("vec_id").as("query_id"), col("neighbor_id"),

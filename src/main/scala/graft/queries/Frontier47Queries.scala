@@ -143,14 +143,19 @@ object Frontier47Queries {
         .localCheckpoint(true) // ≤ ~50 rows; pins the plan for 8 rounds
       var v = variants.select(col("variant"), lit("START").as("state"),
         lit(1000000000L).as("mass"))
+      // r5 opt: the mass vector is ≤ ~30 rows and trans ≤ ~50 — the old
+      // per-round localCheckpoint made every round 3 eager jobs (24 jobs
+      // of pure scheduling for 8 rounds). trans is checkpointed once
+      // above, so the 8 chained broadcast joins all REUSE one
+      // BroadcastExchange and the whole walk collapses into a single
+      // job; each round's agg shuffles ~30 rows.
       (1 to 8).foreach { _ =>
         v = v.select(col("variant").as("vvariant"), col("state").as("vstate"),
             col("mass"))
-          .join(trans, col("vvariant") === col("variant")
+          .join(broadcast(trans), col("vvariant") === col("variant")
             && col("vstate") === col("frm"))
           .groupBy(col("variant"), col("dst").as("state"))
           .agg(sum(expr("(mass * p) div 1000000000")).as("mass"))
-          .localCheckpoint(true)
       }
       val convm = v.groupBy(col("variant"))
         .agg(coalesce(max(when(col("state") === "CONV", col("mass"))), lit(0L))

@@ -200,7 +200,14 @@ object Frontier86Queries {
         |JOIN cnt cx ON cx.label = 0
         |JOIN cnt cy ON cy.label = sy.lb
         |ORDER BY 1""".stripMargin) { (s, d) =>
+      // r5 opt: the Gram pass below posexplodes dim² elements per row —
+      // running that inside the single-row-group scan task serializes
+      // the whole query on one core. Spread the scan by vec_id first
+      // (integer sums are partition-invariant, so results are
+      // unchanged); the groupBy's exchange then receives map-side
+      // partials from every core.
       val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000)).cast("long")).as("q"))

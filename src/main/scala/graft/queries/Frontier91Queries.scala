@@ -89,7 +89,12 @@ object Frontier91Queries {
         |  SELECT 'full_vs_halfB', CAST(sfb AS DOUBLE), CAST(sff AS DOUBLE),
         |    CAST(sbb AS DOUBLE) FROM blocks)
         |ORDER BY pair""".stripMargin) { (s, d) =>
+      // r5 opt: spread the single-row-group scan by vec_id BEFORE the
+      // checkpoint — both dim²-element posexplode passes below read the
+      // checkpointed partitioning, so without this they serialize on
+      // one core (integer sums: results partition-invariant).
       val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000)).cast("long")).as("q"))

@@ -86,8 +86,12 @@ object Frontier99Queries {
       var labels = und.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
       for (_ <- 1 to 3) {
+        // r5 opt: labels is one row per NODE (bounded by the part
+        // count, ≪ edges) — broadcast it so the checkpointed edge list
+        // is never shuffled per round (same posture as PageRank's
+        // broadcastNodeLimit; a shuffle join is the >4M-node fallback).
         val counted = und
-          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .join(broadcast(labels.select(col("id").as("dst"), col("lbl"))), Seq("dst"))
           .groupBy(col("src").as("id"), col("lbl"))
           .agg(count(lit(1)).as("cnt"))
         // argmax by (cnt desc, lbl asc): max of struct(cnt, -lbl)
