@@ -50,27 +50,34 @@ object PageRank {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint(true)
+    // r5 opt: deg is loop-invariant but was a LAZY plan over the edge
+    // list, so every round's update join re-ran the full edge
+    // aggregation inside its lineage (iters extra edge-wide passes).
+    // Checkpoint the per-node degree table once.
     val deg = edges.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
-    var r = deg.select(col("id"), col("deg"), lit(Unit).as("rank_nano"))
       .localCheckpoint(true)
-    val nodes = r.count()
+    var r = deg.select(col("id"), col("deg"), lit(Unit).as("rank_nano"))
+    val nodes = deg.count()
     val hint: DataFrame => DataFrame =
       if (nodes <= broadcastNodeLimit) broadcast else identity
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(hint(r.select(col("id").as("s"), col("deg"), col("rank_nano"))), "s")
         .select(col("d").as("id"), expr("rank_nano DIV deg").as("c"))
         .groupBy("id")
         .agg(sum(col("c").cast(DecimalType(38, 0))).as("total"))
-      val next = r.select(col("id"), col("deg"))
-        .join(contrib, Seq("id"), "left")
+      // r5 opt: contrib is per-node too — under the same node bound it
+      // broadcasts into the update join, so the round is ONE shuffle
+      // (the contribution aggregate) instead of shuffle + sort-merge
+      // join of two node tables; the checkpointed deg table is the
+      // stream side. Per-round checkpoint still truncates lineage.
+      r = deg
+        .join(hint(contrib), Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(150000000L) +
             expr("CAST(coalesce(total, 0) AS DECIMAL(38,0)) DIV 20").cast("long") * 17L)
             .as("rank_nano"))
         .localCheckpoint(true)
-      r.unpersist(blocking = false)
-      r = next
     }
     edges.unpersist(blocking = false)
     r.select(col("id"), col("rank_nano"))

@@ -102,22 +102,30 @@ object Frontier114Queries {
           .filter(col("rn") === 1)
           .select(col("csrc").as("c"), col("cdst").as("n"), col("u"), col("v"))
           .localCheckpoint(true) // <=25 rows; truncates the round's lineage
-        if (best.isEmpty) done = true
+        // r5 opt: the best-edge map is bounded by the NATION domain
+        // (<=25 rows of metadata), so the pointer chase runs on the
+        // driver — the k-means-model shape — instead of 5 eager
+        // self-join localCheckpoints per round (the old tower was ~40
+        // scheduled jobs of pure overhead for the whole query). The
+        // driver fold below is the EXACT semantics of the former
+        // DataFrame pointer doubling: 5 rounds of n' = m(m(c)) with
+        // dead-end fallback, then the mutual-pair 2-cycle collapse.
+        val bmRows = best.select(col("c").cast("long"), col("n").cast("long"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        if (bmRows.isEmpty) done = true
         else {
           mstParts ::= best.select(col("u"), col("v"))
-          var m = best.select(col("c"), col("n")).localCheckpoint(true)
-          for (_ <- 1 to 5) { // pointer doubling: lands on the mutual-pair 2-cycle
-            m = m.as("a").join(m.as("b"), col("a.n") === col("b.c"), "left")
-              .select(col("a.c").as("c"),
-                coalesce(col("b.n"), col("a.n")).as("n"))
-              .localCheckpoint(true)
+          val bm = bmRows.toMap
+          var m = bm
+          for (_ <- 1 to 5) // pointer doubling: lands on the mutual-pair 2-cycle
+            m = m.map { case (c0, n0) => c0 -> m.getOrElse(n0, n0) }
+          val rootRows = m.toSeq.flatMap { case (c0, n0) =>
+            bm.get(n0).map(b => (c0, math.min(n0, b)))
           }
-          val root = m.as("l")
-            .join(best.select(col("c"), col("n")).as("bm"),
-              col("l.n") === col("bm.c"))
-            .select(col("l.c").as("c"), least(col("l.n"), col("bm.n")).as("root"))
+          import s.implicits._
+          val root = rootRows.toDF("c", "root")
           comp = comp.as("cp")
-            .join(root.as("rt"), col("cp.c") === col("rt.c"), "left")
+            .join(broadcast(root.as("rt")), col("cp.c") === col("rt.c"), "left")
             .select(col("cp.node").as("node"),
               coalesce(col("rt.root"), col("cp.c")).as("c"))
             .localCheckpoint(true)

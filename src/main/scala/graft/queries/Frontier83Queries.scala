@@ -128,7 +128,11 @@ object Frontier83Queries {
       val edges = pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .unionByName(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
         .localCheckpoint(true)
+      // r5 opt: deg is loop-invariant; without the checkpoint every
+      // round's broadcast build re-ran the edge-wide degree aggregation
+      // inside its lineage (3 extra passes over the edge list).
       val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       val seeds = Tables.customer(s, d)
         .filter(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node"))
