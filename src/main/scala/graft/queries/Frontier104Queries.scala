@@ -96,13 +96,19 @@ object Frontier104Queries {
           .as("rev"),
           sum(floor(col("l_quantity")).cast("long")).cast("long").as("qty"))
         .localCheckpoint(true) // prefs, prefp and the supplier count read it
-      val prefs = ps.withColumn("rs", row_number().over(
-        Window.partitionBy(col("s")).orderBy(col("rev").desc, col("p"))))
-      val prefp = ps.withColumn("rp", row_number().over(
-        Window.partitionBy(col("p")).orderBy(col("qty").desc, col("s"))))
-      val ranked = prefs.select(col("s"), col("p"), col("rs"))
-        .join(prefp.select(col("s"), col("p"), col("rp")), Seq("s", "p"))
+      // r5 opt: both preference ranks as CHAINED windows on one frame —
+      // exchange by s → rank rs → exchange by p → rank rp — instead of
+      // two window branches re-joined on (s, p), which cost a third
+      // exchange plus a sort-merge join over the full pair table.
+      // Identical values: the two windows are independent.
+      val ranked = ps
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("s")).orderBy(col("rev").desc, col("p"))))
+        .withColumn("rp", row_number().over(
+          Window.partitionBy(col("p")).orderBy(col("qty").desc, col("s"))))
+        .select(col("s"), col("p"), col("rs"), col("rp"))
         .localCheckpoint(true) // each round and the blocking audit read it
+      val prefs = ranked // (s, p, rs[, rp]) — the audit reads rs off it
       def hold(cand: DataFrame): DataFrame = cand
         .withColumn("a", row_number().over(
           Window.partitionBy(col("p")).orderBy(col("rp"))))
@@ -110,11 +116,11 @@ object Frontier104Queries {
       val c1 = ranked.filter(col("rs") === 1).select(col("s"), col("p"), col("rp"))
       val h1 = hold(c1).localCheckpoint(true)
       val p2 = ranked.filter(col("rs") === 2)
-        .join(h1.select(col("s")), Seq("s"), "left_anti")
+        .join(broadcast(h1.select(col("s"))), Seq("s"), "left_anti")
         .select(col("s"), col("p"), col("rp"))
       val h2 = hold(h1.unionByName(p2)).localCheckpoint(true)
       val p3 = ranked.filter(col("rs") === 3)
-        .join(h2.select(col("s")), Seq("s"), "left_anti")
+        .join(broadcast(h2.select(col("s"))), Seq("s"), "left_anti")
         .select(col("s"), col("p"), col("rp"))
       val h3 = hold(h2.unionByName(p3)).localCheckpoint(true)
       val cand = ranked.filter(col("rs") <= 3)

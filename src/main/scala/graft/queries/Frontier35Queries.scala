@@ -178,7 +178,12 @@ object Frontier35Queries {
           when(datediff(col("ts").cast("date"), col("d0")) < 15, 0).otherwise(1)
             .as("half"),
           floor(col("value") * 100).cast("long").as("cents"))
+      // r5 opt: cu feeds both half-rankings and the quintile-count table
+      // — checkpoint once so the events scan + per-user aggregate run
+      // once instead of once per consumer (ShardedRank persists only
+      // its own filtered slice).
       val cu = pe.groupBy(col("half"), col("user_id")).agg(sum(col("cents")).as("cents"))
+        .localCheckpoint(true)
       val n = cu.groupBy(col("half")).agg(count(lit(1)).as("n"))
       def half(h: Int): DataFrame = {
         val part = cu.filter(col("half") === h)

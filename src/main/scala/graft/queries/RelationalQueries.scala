@@ -2204,14 +2204,19 @@ object RelationalQueries {
         .localCheckpoint(true)
       var frontier = dist.select(col("id"))
       var h = 1
+      // r5 opt: the visited set is per-node (bounded like the frontier)
+      // — broadcast it into the anti-join, and accumulate it as a plain
+      // union of already-checkpointed rounds instead of re-checkpointing
+      // the whole set every round (2 eager jobs per round saved; union
+      // of checkpointed blocks adds no lineage).
       while (h <= 4 && !frontier.isEmpty) {
         val next = edges
           .join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id")).distinct()
-          .join(dist.select(col("id")), Seq("id"), "left_anti")
+          .join(broadcast(dist.select(col("id"))), Seq("id"), "left_anti")
           .select(col("id"), lit(h).as("hop"))
           .localCheckpoint(true)
-        dist = dist.union(next).localCheckpoint(true)
+        dist = dist.union(next)
         frontier = next.select(col("id"))
         h += 1
       }
