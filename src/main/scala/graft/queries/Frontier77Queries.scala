@@ -73,13 +73,20 @@ object Frontier77Queries {
       val dowT = s.range(0, 7).select(col("id").cast("int").as("dow"))
         .crossJoin(broadcast(tot))
         .select(col("dow"), expr("t div 7").cast("long").as("target"))
+      // r5 opt: the per-margin totals are window sums over the same
+      // keys, not separate aggregates broadcast-joined back — the old
+      // shape built 2 derived broadcasts per round × 3 rounds (each
+      // re-evaluating the previous round inside its build: ~24
+      // scheduled jobs of pure overhead on a ≤(7·|event_type|)-row
+      // grid). Same integer arithmetic, one chained job.
       def ipfRound(prev: DataFrame): DataFrame = {
-        val rm = prev.groupBy(col("dow")).agg(sum(col("w")).cast("long").as("cur"))
-        val r = prev.join(broadcast(rm), "dow").join(broadcast(dowT), "dow")
+        val r = prev
+          .withColumn("cur", sum(col("w")).over(Window.partitionBy(col("dow"))).cast("long"))
+          .join(broadcast(dowT), "dow")
           .select(col("et"), col("dow"),
             expr("cast((cast(w as decimal(38,0)) * target) div cur as bigint)").as("w"))
-        val cm = r.groupBy(col("et")).agg(sum(col("w")).cast("long").as("cur"))
-        r.join(broadcast(cm), "et").join(broadcast(etT), "et")
+        r.withColumn("cur", sum(col("w")).over(Window.partitionBy(col("et"))).cast("long"))
+          .join(broadcast(etT), "et")
           .select(col("et"), col("dow"),
             expr("cast((cast(w as decimal(38,0)) * target) div cur as bigint)").as("w"))
       }
