@@ -46,6 +46,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // r6 (verdict item 2): the contract line above is ~25 KB and the
+    // round driver records only a fixed-size tail of stdout, so in r4
+    // and r5 the per-query map outlived the capture and PERF per_query
+    // came back empty. Print ONE compact fixed-size summary line
+    // (total, n, top-10 slowest) AFTER it: the metric line stays the
+    // canonical contract output (unchanged format, all queries), and
+    // the summary — deliberately NOT shaped like the metric line, no
+    // "metric"/"queries" keys, so no parser can mistake it for a
+    // second (smaller) query map — survives any tail truncation.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"""["$k",${math.round(v * 1000) / 1000.0}]""" }
+      .mkString("[", ",", "]")
+    println(s"""{"total":${math.round(total * 1000) / 1000.0},"n":${results.length},"slowest":$slowest}""")
     // builder-side complete artifact: the driver's capture buffer
     // truncates long tails, so the full per-query map is also written
     // to a file (committed per round as bench_full.json)

@@ -69,10 +69,15 @@ object OptProbe {
         }
         if (i == runs) { Thread.sleep(150); prof.reset() }
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        // r6 (advice): a crashing query must not masquerade as a fast
+        // timing — print the failure and poison the sample.
+        val failed = try { fn(spark, sfDir).count(); false } catch {
+          case e: Throwable =>
+            println(s"[opt] $n run $i FAILED: $e"); true
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (failed) Double.NaN else dt
       }
       Thread.sleep(150) // let the async listener bus drain
       println(f"[opt] $n%-32s ${times.map(t => f"$t%7.2f").mkString(" ")}" +

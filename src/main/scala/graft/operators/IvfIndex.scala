@@ -114,11 +114,7 @@ object IvfIndex {
     * fold is partition-order-sensitive and must see the corpus in its
     * at-rest layout.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions * 2 >= p) df
-    else df.repartition(p, col("vec_id"))
-  }
+  private def spread(df: DataFrame): DataFrame = Spread.by(df, col("vec_id"))
 
   private def embOf(corpus: DataFrame): DataFrame =
     corpus.select(col("vec_id").cast("long").as("vec_id"),

@@ -61,6 +61,7 @@ object PageRank {
     val hint: DataFrame => DataFrame =
       if (nodes <= broadcastNodeLimit) broadcast else identity
     for (i <- 1 to iters) {
+      val prev = r
       val contrib = edges
         .join(hint(r.select(col("id").as("s"), col("deg"), col("rank_nano"))), "s")
         .select(col("d").as("id"), expr("rank_nano DIV deg").as("c"))
@@ -78,6 +79,11 @@ object PageRank {
             expr("CAST(coalesce(total, 0) AS DECIMAL(38,0)) DIV 20").cast("long") * 17L)
             .as("rank_nano"))
         .localCheckpoint(true)
+      // r6 (advice): drop the previous round's checkpoint cache once the
+      // new table is materialized, or `iters` node-table caches stay
+      // pinned for the whole loop (round 1's `r` is the uncached deg
+      // projection — unpersisting it is a no-op).
+      if (i > 1) prev.unpersist(blocking = false)
     }
     edges.unpersist(blocking = false)
     r.select(col("id"), col("rank_nano"))

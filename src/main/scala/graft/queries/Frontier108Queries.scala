@@ -81,9 +81,9 @@ object Frontier108Queries {
         |ORDER BY w.colname""".stripMargin) { (s, d) =>
       // r5 opt: spread the single-row-group lineitem scan so the 3-way
       // column explode (1.8M rows at sf0.1) and the checkpointed frame
-      // it feeds are parallel rather than one scan task.
-      val lf = Tables.lineitem(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      // it feeds are parallel rather than one scan task. r6: guarded —
+      // skipped when the scan already has parallelism (Spread.by).
+      val lf = graft.operators.Spread.by(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_shipdate").as("d"), col("l_orderkey").as("ok"),
           col("l_linenumber").as("ln"),
           explode(array(

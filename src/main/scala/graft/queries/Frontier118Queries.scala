@@ -100,12 +100,26 @@ object Frontier118Queries {
         |JOIN cov c ON c.brand_a = l.brand_a
         |CROSS JOIN catalog g
         |GROUP BY 1, 4, 5 ORDER BY 1""".stripMargin) { (s, d) =>
+      // r6 opt: aggregate-before-join (PairGraph's discipline, weighted
+      // variant): the line-level self-join on l_orderkey emitted one
+      // row per (order, lineitem_a, lineitem_b) — n² rows per order
+      // through an SMJ. The count it feeds is Σ_orders c_a(o)·c_b(o)
+      // with c the per-order part multiplicity, so aggregate to
+      // (order, part, c) first and explode the m² weighted DIRECTED
+      // pairs (m = distinct parts per order, m ≤ n) — no join, and the
+      // pair stream shrinks by the multiplicity factor. Exact integers.
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
-        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .agg(count(lit(1)).cast("long").as("cnt"))
+      val pairs = li
+        .groupBy(col("l_orderkey"), col("l_partkey")).agg(count(lit(1)).as("c"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_partkey").as("p"), col("c"))).as("items"))
+        .select(explode(expr(
+          "flatten(transform(items, a -> transform(" +
+            "filter(items, b -> b.p != a.p), " +
+            "b -> named_struct('pa', a.p, 'pb', b.p, 'w', a.c * b.c))))"))
+          .as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(sum(col("pr.w")).cast("long").as("cnt"))
       val recs = pairs.withColumn("rn", row_number().over(
           Window.partitionBy(col("pa")).orderBy(col("cnt").desc, col("pb").asc)))
         .filter(col("rn") <= 5).select(col("pa"), col("pb"))

@@ -83,9 +83,9 @@ object Frontier127Queries {
       // folds (interpreted HOFs, the expensive stage) run across
       // cores instead of inside the single-row-group scan task. Same
       // exchange count; the heavy projection changes sides.
-      val a = Tables.documents(s, d)
-        .filter(pmod(col("doc_id"), lit(3)) === 2)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val a = graft.operators.Spread.by(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 2),
+          col("doc_id"))
         .select(col("doc_id").as("asset_id"), codes.as("codes"))
         .filter(size(col("codes")) >= 32)
       val fr = a

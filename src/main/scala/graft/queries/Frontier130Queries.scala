@@ -155,8 +155,14 @@ object Frontier130Queries {
           expr("transform(embedding, x -> cast(floor(cast(x as double)" +
             " * 1000000) as bigint))").as("v"))
         .localCheckpoint(true)
+      // r6 opt: the checkpointed sample is ONE partition, so the
+      // all-pairs zip_with fold (n² 64-dim L2 rows, the query's real
+      // compute) would run inside a single task. Spread the probe side
+      // (guarded; build side stays broadcast) — per-row distances are
+      // partition-invariant and the kNN window re-partitions by ia.
       val dist = broadcast(q.select(col("id").as("ia"), col("v").as("va")))
-        .join(q.select(col("id").as("ib"), col("v").as("vb")),
+        .join(graft.operators.Spread.by(
+            q.select(col("id").as("ib"), col("v").as("vb")), col("ib")),
           col("ib") =!= col("ia"))
         .select(col("ia"), col("ib"),
           expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y))," +

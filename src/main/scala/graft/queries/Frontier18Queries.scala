@@ -50,12 +50,20 @@ object Frontier18Queries {
         .distinct()
       val itemN = basket.groupBy(col("item")).agg(count(lit(1)).as("n"))
       val tot = basket.agg(countDistinct(col("o")).as("n_orders"))
-      val b1 = basket.select(col("o"), col("item").as("a"))
-      val b2 = basket.select(col("o"), col("item").as("b"))
-      val b3 = basket.select(col("o"), col("item").as("c"))
-      val tri = b1.join(b2, Seq("o")).filter(col("a") < col("b"))
-        .join(b3, Seq("o")).filter(col("b") < col("c"))
-        .groupBy(col("a"), col("b"), col("c"))
+      // r6 opt: aggregate-before-join (PairGraph's discipline, triple
+      // variant) — the two chained basket self-joins on the order key
+      // (4 exchanges + 2 SMJs) become ONE exchange collecting each
+      // order's sorted item set and a C(n,3) ordered-triple explode;
+      // a < b < c from the sort, same (order, triple) multiset.
+      val tri = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+        .groupBy(col("o")).agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(explode(expr(
+          "flatten(flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), (y, j) -> " +
+            "transform(slice(items, i + j + 3, size(items)), " +
+            "z -> named_struct('a', x, 'b', y, 'c', z))))))")).as("t"))
+        .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
       tri

@@ -222,8 +222,7 @@ object Frontier32Queries {
       // through the alias) so the interpreted dot-product fold runs
       // across cores instead of inside the single-row-group scan task.
       // Same exchange count; the heavy projection changes sides.
-      val q = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val q = graft.operators.Spread.by(Tables.embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
             .as("qv"))

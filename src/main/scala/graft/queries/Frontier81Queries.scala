@@ -72,8 +72,7 @@ object Frontier81Queries {
       // r5 opt: spread the single-row-group documents scan so the two
       // tokenize+explode passes (ct and dt) run across cores instead of
       // inside one scan task.
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val docs = graft.operators.Spread.by(Tables.documents(s, d), col("doc_id"))
       val tok = docs.select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
       val nAll = docs.agg(count(lit(1)).cast("double").as("n_all"))

@@ -206,8 +206,7 @@ object Frontier86Queries {
       // (integer sums are partition-invariant, so results are
       // unchanged); the groupBy's exchange then receives map-side
       // partials from every core.
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val e = graft.operators.Spread.by(Tables.embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("label"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000)).cast("long")).as("q"))

@@ -76,9 +76,9 @@ object Frontier89Queries {
       // r5 opt: spread the single-row-group scan before the checkpoint
       // so the shingle explode + 16-way md5 signature pass downstream
       // start from parallel partitions, not one scan task.
-      val docs = Tables.documents(s, d)
-        .filter(length(col("text")) >= 3)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val docs = graft.operators.Spread.by(
+          Tables.documents(s, d).filter(length(col("text")) >= 3),
+          col("doc_id"))
         .select(col("doc_id"), substring(col("text"), 1, 96).as("tx"),
           md5(substring(col("text"), 1, 48)).as("fam"))
         .localCheckpoint(true) // shingles, pairs, and families read it

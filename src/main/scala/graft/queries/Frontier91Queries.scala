@@ -93,8 +93,7 @@ object Frontier91Queries {
       // checkpoint — both dim²-element posexplode passes below read the
       // checkpointed partitioning, so without this they serialize on
       // one core (integer sums: results partition-invariant).
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val e = graft.operators.Spread.by(Tables.embeddings(s, d), col("vec_id"))
         .select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000)).cast("long")).as("q"))

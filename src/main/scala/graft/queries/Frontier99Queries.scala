@@ -17,12 +17,11 @@ object Frontier99Queries {
     * appears as src and per-node aggregates need no union).
     */
   private def undirected(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // r6 opt: aggregate-before-join pair build (PairGraph, see a18)
+    val e0 = graft.operators.PairGraph.groupPairs(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       .select(col("src"), col("dst"))
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -85,13 +84,19 @@ object Frontier99Queries {
       val und = undirected(s, d).localCheckpoint(true) // read once per round
       var labels = und.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
+      // r6 (advice): the broadcast is now GATED on a measured bound
+      // (PageRank's posture) instead of assumed — nodes ≤ edge rows, and
+      // counting the checkpointed edge list is free of shuffles; above
+      // the bound the per-round join degrades to the plain shuffle join.
+      val hint: DataFrame => DataFrame =
+        if (und.count() <= 4000000L) broadcast else identity
       for (_ <- 1 to 3) {
         // r5 opt: labels is one row per NODE (bounded by the part
         // count, ≪ edges) — broadcast it so the checkpointed edge list
         // is never shuffled per round (same posture as PageRank's
         // broadcastNodeLimit; a shuffle join is the >4M-node fallback).
         val counted = und
-          .join(broadcast(labels.select(col("id").as("dst"), col("lbl"))), Seq("dst"))
+          .join(hint(labels.select(col("id").as("dst"), col("lbl"))), Seq("dst"))
           .groupBy(col("src").as("id"), col("lbl"))
           .agg(count(lit(1)).as("cnt"))
         // argmax by (cnt desc, lbl asc): max of struct(cnt, -lbl)

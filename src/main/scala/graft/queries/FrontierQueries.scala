@@ -27,12 +27,11 @@ object FrontierQueries {
     * two parts are adjacent when they appear together in >= 2 orders.
     */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e0 = op.as("a")
-      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // r6 opt: aggregate-before-join pair build (PairGraph, see a18)
+    val e0 = graft.operators.PairGraph.groupPairs(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
       .select(col("src"), col("dst"))
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))

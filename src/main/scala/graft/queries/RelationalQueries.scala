@@ -1298,12 +1298,14 @@ object RelationalQueries {
         |      / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
         |  ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
         |FROM deg d LEFT JOIN tn ON d.id = tn.id""".stripMargin) { (s, d) =>
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pa = op.select(col("l_orderkey"), col("l_partkey").as("id_a"))
-      val pb = op.select(col("l_orderkey"), col("l_partkey").as("id_b"))
-      val p = pa.join(pb, "l_orderkey").filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
+      // r6 opt: aggregate-before-join pair build (PairGraph) — one
+      // exchange on the order key + pair explode instead of distinct +
+      // self-join (4 exchanges + SMJ); same (order, pair) multiset.
+      val p = graft.operators.PairGraph.groupPairs(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        .groupBy(col("src").as("id_a"), col("dst").as("id_b"))
+        .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("id_a", "id_b")
       // node table ≪ edge list → broadcast degrees (d6/d7's trade)
@@ -1377,10 +1379,12 @@ object RelationalQueries {
       val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val item = op.groupBy(col("l_partkey").as("id"))
         .agg(count(lit(1)).as("cnt"))
-      val pa = op.select(col("l_orderkey"), col("l_partkey").as("id_a"))
-      val pb = op.select(col("l_orderkey"), col("l_partkey").as("id_b"))
-      val pr = pa.join(pb, "l_orderkey").filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("co"))
+      // r6 opt: aggregate-before-join pair build (PairGraph, see a18)
+      val pr = graft.operators.PairGraph.groupPairs(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        .groupBy(col("src").as("id_a"), col("dst").as("id_b"))
+        .agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2)
       val dir = pr.select(col("id_a").as("ant"), col("id_b").as("cons"), col("co"))
         .unionAll(pr.select(col("id_b").as("ant"), col("id_a").as("cons"), col("co")))
@@ -2190,11 +2194,10 @@ object RelationalQueries {
         |SELECT id AS part_id, CAST(min(hop) AS INTEGER) AS hop
         |FROM bfs GROUP BY id""".stripMargin) { (s, d) =>
       val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = op.as("a")
-        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      // r6 opt: aggregate-before-join pair build (PairGraph, see a18)
+      val e0 = graft.operators.PairGraph.groupPairs(op, "l_orderkey", "l_partkey")
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
         .select(col("src"), col("dst"))
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -2208,12 +2211,16 @@ object RelationalQueries {
       // — broadcast it into the anti-join, and accumulate it as a plain
       // union of already-checkpointed rounds instead of re-checkpointing
       // the whole set every round (2 eager jobs per round saved; union
-      // of checkpointed blocks adds no lineage).
+      // of checkpointed blocks adds no lineage). r6 (advice): the
+      // frontier/visited broadcasts are GATED on the measured node
+      // domain (PageRank's posture) — above the bound, shuffle joins.
+      val hint: DataFrame => DataFrame =
+        if (edges.count() <= 4000000L) broadcast else identity // nodes ≤ edges
       while (h <= 4 && !frontier.isEmpty) {
         val next = edges
-          .join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
+          .join(hint(frontier.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id")).distinct()
-          .join(broadcast(dist.select(col("id"))), Seq("id"), "left_anti")
+          .join(hint(dist.select(col("id"))), Seq("id"), "left_anti")
           .select(col("id"), lit(h).as("hop"))
           .localCheckpoint(true)
         dist = dist.union(next)

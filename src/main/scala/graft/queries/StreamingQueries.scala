@@ -49,8 +49,8 @@ object StreamingQueries {
   // Scaffolding location + state partition count are bench-local
   // deployment defaults, centralized in StreamStage (r5 optimization):
   // tmpfs scaffolding unless GRAFT_STREAM_DURABLE=1, GRAFT_STREAM_PARTS
-  // state partitions (default 1; outputs are spec-pinned bit-identical
-  // across partition counts).
+  // state partitions (default 8 — the r5 A/B measured 1 as ~15% slower;
+  // outputs are spec-pinned bit-identical across partition counts).
   private def stageRoot: String = StreamStage.stageRoot
 
   def defs: Seq[QueryDef] = Seq(

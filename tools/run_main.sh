@@ -1,7 +1,15 @@
 #!/bin/bash
 # Run a graft main directly on the compiled classes (no sbt lock/startup).
 # Usage: tools/run_main.sh <MainClass> [args...]   (env passes through)
-CP=$(cat /tmp/cp.txt)
+# Classpath: $GRAFT_CP_FILE if set, else the repo-local target/cp.txt
+# (regenerate with: sbt -batch "export Runtime/fullClasspath" > target/cp.txt,
+# keeping only the classpath line). Fails fast when missing.
+CP_FILE="${GRAFT_CP_FILE:-$(dirname "$0")/../target/cp.txt}"
+if [ ! -r "$CP_FILE" ]; then
+  echo "run_main.sh: classpath file $CP_FILE missing or unreadable" >&2
+  exit 1
+fi
+CP=$(cat "$CP_FILE")
 exec java -cp "$CP" -Xmx110g -Xss16m \
   --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
